@@ -1,0 +1,118 @@
+"""Fixed-capacity compaction — the TPU replacement for the reference's
+mask → CUB prefix-sum → scatter pipeline (``collectKpts``,
+/root/reference/sift_cuda/sift_func/SiftOps.cu:210-235, and
+``findPeaksBlockSecondPass``, image_func/MatOps.cu:149-181).
+
+On TPU there are no efficient global atomic/scatter compactions; instead we
+use ``top_k`` over a score vector.  ``jax.lax.top_k`` breaks ties by lowest
+index, so top_k over a 0/1 validity mask IS stream compaction (first-K valid
+elements in index order).  For large inputs a two-stage tiled top-k bounds
+the cost: a batched small-k top-k per tile, then one exact top-k over the
+tile winners.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG = jnp.float32(-3.0e38)
+
+
+def stream_compact(valid: jnp.ndarray, cap: int, block: int = 512):
+    """Sort-free stream compaction: indices of the first ``cap`` set bits of
+    ``valid``, in index order — the exact semantics of the reference's
+    prefix-sum + scatter (``collectKpts``, SiftOps.cu:210-235, capacity-capped
+    in index order).
+
+    TPU-native formulation with no scatter, no sort, no top_k:
+      1. per-block counts + small exclusive cumsum over blocks;
+      2. for each output slot j, binary-search the owning block;
+      3. gather that block's mask, in-block cumsum, argmax -> position.
+    Work: O(n) reduce + O(cap * block) dense ops; compiles in O(1) ops.
+
+    Returns (indices [cap] int32, out_valid [cap] bool).
+    """
+    n = valid.shape[0]
+    if n <= block:
+        # Single block: in-block cumsum covers it.
+        c = jnp.cumsum(valid.astype(jnp.int32))
+        j = jnp.arange(cap, dtype=jnp.int32)
+        hit = (c[None, :] == (j[:, None] + 1)) & valid[None, :]
+        idx = jnp.argmax(hit, axis=1).astype(jnp.int32)
+        return idx, j < c[-1]
+
+    pad = (-n) % block
+    v = jnp.concatenate([valid, jnp.zeros((pad,), valid.dtype)]) if pad \
+        else valid
+    nb = v.shape[0] // block
+    m = v.reshape(nb, block)
+    bc = jnp.sum(m.astype(jnp.int32), axis=1)            # [nb]
+    incl = jnp.cumsum(bc)                                # inclusive offsets
+    total = incl[-1]
+    excl = incl - bc
+
+    j = jnp.arange(cap, dtype=jnp.int32)
+    b = jnp.searchsorted(incl, j, side="right").astype(jnp.int32)
+    b = jnp.clip(b, 0, nb - 1)
+    rank = j - jnp.take(excl, b)                         # rank within block
+    rows = jnp.take(m, b, axis=0)                        # [cap, block]
+    rc = jnp.cumsum(rows.astype(jnp.int32), axis=1)
+    hit = (rc == rank[:, None] + 1) & rows.astype(bool)
+    within = jnp.argmax(hit, axis=1).astype(jnp.int32)
+    return b * block + within, j < total
+
+
+def topk_compact(score: jnp.ndarray, valid: jnp.ndarray, cap: int,
+                 tile: int = 1024, per_tile: int = 32):
+    """Select up to ``cap`` valid entries with the highest scores.
+
+    score: [N] float32; valid: [N] bool.  Returns (indices [cap] int32,
+    out_valid [cap] bool).  Entries are ordered by descending score.
+    When N is small the top-k is exact; otherwise entries are first reduced
+    per tile (exact as long as no single tile holds more than ``per_tile``
+    valid entries — calibrate ``tile``/``per_tile`` to the workload).
+    """
+    n = score.shape[0]
+    s = jnp.where(valid, score, NEG)
+
+    if n <= max(4 * tile, 4 * cap):
+        k = min(cap, n)
+        top_s, top_i = jax.lax.top_k(s, k)
+        out_i = jnp.zeros((cap,), jnp.int32).at[:k].set(top_i.astype(jnp.int32))
+        out_v = jnp.zeros((cap,), bool).at[:k].set(top_s > NEG)
+        return out_i, out_v
+
+    pad = (-n) % tile
+    if pad:
+        s = jnp.concatenate([s, jnp.full((pad,), NEG, s.dtype)])
+    nt = s.shape[0] // tile
+    st = s.reshape(nt, tile)
+    t_s, t_i = jax.lax.top_k(st, min(per_tile, tile))      # [nt, per_tile]
+    base = (jnp.arange(nt, dtype=jnp.int32) * tile)[:, None]
+    cand_i = (t_i.astype(jnp.int32) + base).reshape(-1)
+    cand_s = t_s.reshape(-1)
+    k = min(cap, cand_s.shape[0])
+    top_s, top_j = jax.lax.top_k(cand_s, k)
+    out_i = jnp.zeros((cap,), jnp.int32).at[:k].set(
+        jnp.take(cand_i, top_j).astype(jnp.int32))
+    out_v = jnp.zeros((cap,), bool).at[:k].set(top_s > NEG)
+    return out_i, out_v
+
+
+def mask_compact(valid: jnp.ndarray, cap: int):
+    """Compaction by index order only (reference ``collectKpts`` semantics:
+    first-come order, capacity-capped).  Returns (indices, out_valid)."""
+    # top_k over the mask: ties broken by lowest index == stable compaction.
+    score = valid.astype(jnp.float32)
+    k = min(cap, score.shape[0])
+    top_s, top_i = jax.lax.top_k(score, k)
+    out_i = jnp.zeros((cap,), jnp.int32).at[:k].set(top_i.astype(jnp.int32))
+    out_v = jnp.zeros((cap,), bool).at[:k].set(top_s > 0.5)
+    return out_i, out_v
+
+
+def gather_keypoint_fields(tree, idx, valid):
+    """Gather every leaf of a keypoint pytree at ``idx``; AND valid masks."""
+    gathered = jax.tree_util.tree_map(lambda a: jnp.take(a, idx, axis=0), tree)
+    return gathered, valid

@@ -1,0 +1,177 @@
+"""128-D SIFT descriptor extraction.
+
+Equivalent capability to the reference's ``genDescriptorMultiThread``
+(/root/reference/sift_cuda/sift_func/SiftOps.cu:453-623): rotated 4x4
+spatial x 8 orientation grid, trilinear interpolation into a
+(4+2)^2 x (8+2) histogram, border folding, L2-normalize -> clip at
+0.2*norm -> renormalize -> scale.
+
+TPU-first: the 128-threads-per-keypoint shared-memory atomicAdd scatter
+becomes a batched gather + fused reductions.  Key identity: the trilinear
+scatter-with-fold is exactly
+
+    desc[k, R, C, o] = sum_p mag_p * hat(rbin_p + 1 - R) * hat(cbin_p + 1 - C)
+                             * circular_hat_8(obin_p - o)
+
+with hat(t) = max(0, 1 - |t|): only the 4x4 retained spatial cells are ever
+computed (the reference's border histogram cells are written then discarded;
+its orientation wrap bins 8/9 fold into 0/1, SiftOps.cu:431-446, which the
+circular hat performs implicitly).  No atomics, no scatter — the race class
+the reference manages with __syncthreads is eliminated by construction.
+
+Output quantizations:
+* "opencv"    — saturate_cast<uchar>(v * 512/norm): rounded, clamped to 255
+                (what cv2.SIFT produces; the parity-gate mode);
+* "reference" — clamp(v/norm, 0, 1) * 512 unrounded (SiftOps.cu:606-622).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+from sift_tpu.config import (SIFT_DESCR_HIST_BINS, SIFT_DESCR_SCL_FCTR,
+                             SIFT_DESCR_WIDTH, SIFT_INT_DESCR_FCTR,
+                             SiftConfig)
+from sift_tpu.ops.patches import gather_patches, patch_gradients
+
+_D = SIFT_DESCR_WIDTH        # 4 spatial cells per side
+_NB = SIFT_DESCR_HIST_BINS   # 8 orientation bins
+
+
+def max_descr_radius(cfg: SiftConfig) -> int:
+    """Static window-radius bound: hist_width = 3 * scl_octv with
+    scl_octv <= sigma * 2^((L+0.5)/L); radius = round(hw * sqrt2 * 2.5)."""
+    scl_max = cfg.sigma * 2.0 ** ((cfg.num_octave_layers + 0.5)
+                                  / cfg.num_octave_layers)
+    hw = SIFT_DESCR_SCL_FCTR * scl_max
+    return int(round(hw * math.sqrt(2.0) * (_D + 1) * 0.5))
+
+
+def _hat(t):
+    return jnp.maximum(0.0, 1.0 - jnp.abs(t))
+
+
+def compute_descriptors(block: jnp.ndarray, x, y, layer, size, angle, valid,
+                        octave: int, cfg: SiftConfig,
+                        chunk: int = 512):
+    """block: [D, H, W] Gaussian stack of this octave (the reference reads
+    descriptors from the Gaussian pyramid, interface/Detector.cu:569-578).
+    x/y/size in base-image space, angle in degrees.
+
+    Returns (desc [K, 128] float32 pre-quantization, nrm2 [K, 1]); invalid
+    slots are zero.  Work is chunked over keypoints to bound temporaries.
+    """
+    h, w = block.shape[1], block.shape[2]
+    inv = 1.0 / float(1 << octave)
+    px = jnp.round(x * inv).astype(jnp.int32)
+    py = jnp.round(y * inv).astype(jnp.int32)
+    scl = size * 0.5 * inv
+    ang = 360.0 - angle
+    ang = jnp.where(jnp.abs(ang - 360.0) < 1e-6, 0.0, ang)
+
+    rmax = min(max_descr_radius(cfg),
+               int(math.sqrt(float(h * h + w * w))) + 1)
+    s = 2 * (rmax + 1) + 1
+
+    k = x.shape[0]
+    nchunk = max(1, -(-k // chunk))
+    pad = nchunk * chunk - k
+
+    def pad0(a):
+        return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:], a.dtype)]) \
+            if pad else a
+
+    args = tuple(pad0(a).reshape(nchunk, chunk, *a.shape[1:]) for a in
+                 (px, py, layer, scl, ang, valid))
+
+    def body(ch):
+        cpx, cpy, clyr, cscl, cang, cval = ch
+        return _descriptor_hist(block, cpx, cpy, clyr, cscl, cang, cval,
+                                h, w, s)
+
+    if nchunk == 1:
+        hist = body(tuple(a[0] for a in args))[None]
+    else:
+        hist = jax.lax.map(body, args)
+    hist = hist.reshape(nchunk * chunk, _D, _D, _NB)[:k]
+    return finalize_descriptor(hist)
+
+
+def _descriptor_hist(block, px, py, layer, scl, ang, valid, h, w, s):
+    """[Kc, D, D, NB] histogram via hat-function reductions."""
+    hist_width = SIFT_DESCR_SCL_FCTR * scl
+    arad = ang * (math.pi / 180.0)
+    cos_t = jnp.cos(arad) / hist_width
+    sin_t = jnp.sin(arad) / hist_width
+    radius = jnp.round(hist_width * math.sqrt(2.0) * (_D + 1) * 0.5)
+    radius = jnp.minimum(radius, math.sqrt(float(h * h + w * w)))
+
+    patch, offy, offx = gather_patches(block, layer, py, px, s)
+    dx, dy = patch_gradients(patch)              # [Kc, s-2, s-2]
+    ii = offy[1:-1][None, :, None].astype(jnp.float32)
+    jj = offx[1:-1][None, None, :].astype(jnp.float32)
+
+    c_rot = jj * cos_t[:, None, None] - ii * sin_t[:, None, None]
+    r_rot = jj * sin_t[:, None, None] + ii * cos_t[:, None, None]
+    rbin = r_rot + (_D / 2 - 0.5)
+    cbin = c_rot + (_D / 2 - 0.5)
+
+    pyy = py[:, None, None] + ii.astype(jnp.int32)
+    pxx = px[:, None, None] + jj.astype(jnp.int32)
+    rad = radius[:, None, None]
+    m = ((rbin > -1) & (rbin < _D) & (cbin > -1) & (cbin < _D)
+         & (pyy > 0) & (pyy < h - 1) & (pxx > 0) & (pxx < w - 1)
+         & (jnp.abs(ii) <= rad) & (jnp.abs(jj) <= rad)
+         & valid[:, None, None])
+
+    grad_mag = jnp.sqrt(dx * dx + dy * dy)
+    grad_ori = jnp.arctan2(dy, dx) * (180.0 / math.pi)
+    grad_ori = jnp.where(grad_ori < 0, grad_ori + 360.0, grad_ori)
+    wexp = jnp.exp((c_rot * c_rot + r_rot * r_rot)
+                   * (-1.0 / (_D * _D * 0.5)))
+    mag = jnp.where(m, grad_mag * wexp, 0.0)
+
+    obin = (grad_ori - ang[:, None, None]) * (_NB / 360.0)
+    ob = jnp.mod(obin, float(_NB))               # circular position in [0, 8)
+
+    # Separable hat tensors; contraction over pixels runs on the MXU.
+    kc = px.shape[0]
+    p = (rbin.shape[1]) * (rbin.shape[2])
+    cells = jnp.arange(1, _D + 1, dtype=jnp.float32)
+    hr = _hat(rbin.reshape(kc, p)[:, :, None] + 1.0 - cells)   # [Kc, P, 4]
+    hc = _hat(cbin.reshape(kc, p)[:, :, None] + 1.0 - cells)   # [Kc, P, 4]
+    od = jnp.abs(ob.reshape(kc, p)[:, :, None]
+                 - jnp.arange(_NB, dtype=jnp.float32))
+    wo = jnp.maximum(0.0, 1.0 - jnp.minimum(od, float(_NB) - od))
+    wo = wo * mag.reshape(kc, p)[:, :, None]                   # [Kc, P, 8]
+    hrc = hr[:, :, :, None] * hc[:, :, None, :]                # [Kc, P, 4, 4]
+    return jax.lax.dot_general(
+        hrc.reshape(kc, p, _D * _D), wo,
+        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).reshape(kc, _D, _D, _NB)                   # [Kc, D, D, NB]
+
+
+def finalize_descriptor(hist: jnp.ndarray):
+    """hist [K, D, D, NB] -> (desc [K, 128], nrm2 [K, 1])
+    (SiftOps.cu:606-616): L2-norm, clip at 0.2*norm, renorm factor."""
+    k = hist.shape[0]
+    desc = hist.reshape(k, _D * _D * _NB)
+    nrm = jnp.sqrt(jnp.sum(desc * desc, -1, keepdims=True))
+    desc = jnp.minimum(desc, nrm * 0.2)
+    nrm2 = jnp.sqrt(jnp.sum(desc * desc, -1, keepdims=True))
+    return desc, nrm2
+
+
+def quantize_descriptor(desc, nrm2, mode: str = "opencv"):
+    if mode == "opencv":
+        # saturate_cast<uchar>(v * 512 / max(norm, FLT_EPSILON))
+        scale = SIFT_INT_DESCR_FCTR / jnp.maximum(nrm2, 1.192092896e-07)
+        return jnp.clip(jnp.round(desc * scale), 0.0, 255.0)
+    # reference: __saturatef(v / max(norm, 1e-7)) * 512 (SiftOps.cu:617-622)
+    scale = 1.0 / jnp.maximum(nrm2, 1e-7)
+    return jnp.clip(desc * scale, 0.0, 1.0) * SIFT_INT_DESCR_FCTR
