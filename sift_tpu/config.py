@@ -62,8 +62,13 @@ class SiftConfig:
     interpolate_orientation: bool = True
     # Gaussian kernel support: size = round(truncate*sigma + 1) | 1.
     # 6.0 matches the reference (utils/GaussianUtils.cc:8,40); OpenCV's
-    # GaussianBlur on f32 uses 8.0.
-    kernel_truncate: float = 6.0
+    # GaussianBlur on f32 uses 8.0.  Default 8.0 (OpenCV is the oracle).
+    kernel_truncate: float = 8.0
+    # Octave downsampling: "nearest" decimation with floor-halved dims
+    # (OpenCV buildGaussianPyramid: INTER_NEAREST at size/2) or "bilinear"
+    # with round-halved dims (the reference's resize_cuda at
+    # interface/Detector.cu:282-291, image_func/Resize.cu:26-63).
+    downsample: str = "nearest"
     # Per-octave candidate capacity; None -> heuristic in SiftPlan.
     max_candidates_per_octave: Optional[int] = None
     # Pyramid blur implementation: "matmul" (banded operators on the MXU) or
@@ -80,6 +85,8 @@ class SiftConfig:
             raise ValueError("orientation_source must be 'gaussian' or 'dog'")
         if self.blur_impl not in ("matmul", "conv"):
             raise ValueError("blur_impl must be 'matmul' or 'conv'")
+        if self.downsample not in ("nearest", "bilinear"):
+            raise ValueError("downsample must be 'nearest' or 'bilinear'")
 
     @property
     def num_octaves(self) -> int:

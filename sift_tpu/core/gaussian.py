@@ -97,6 +97,17 @@ def resize_operator(out_len: int, in_len: int,
     return m.astype(dtype)
 
 
+def decimation_operator(out_len: int, in_len: int,
+                        dtype=np.float32) -> np.ndarray:
+    """[out_len, in_len] nearest-neighbor 2x decimation matrix:
+    out[i] = in[2*i] (OpenCV buildGaussianPyramid INTER_NEAREST halving,
+    sx = floor(i * 2))."""
+    m = np.zeros((out_len, in_len), dtype=dtype)
+    idx = np.minimum(2 * np.arange(out_len), in_len - 1)
+    m[np.arange(out_len), idx] = 1.0
+    return m
+
+
 def sigma_schedule(sigma: float, num_octave_layers: int) -> np.ndarray:
     """Per-layer incremental sigmas (interface/Detector.cu:63-71):
     sigmas[0] = sigma; sigmas[i] = sqrt(sig_total^2 - sig_prev^2) with

@@ -129,15 +129,19 @@ class SiftPlan:
 
 
 def _octave_dims(cfg: SiftConfig) -> List[Tuple[int, int]]:
-    """Per-octave (H, W): dims round-halve from the base
+    """Per-octave (H, W).  "bilinear" mode round-halves from the base
     (interface/Detector.cu:80-86 uses round(init / 2^oct); the in-graph
     resize halves the previous octave with roundf(prev/2),
-    Detector.cu:282-291 — identical results for positive dims)."""
+    Detector.cu:282-291 — identical results for positive dims).
+    "nearest" mode floor-halves (OpenCV buildGaussianPyramid: size/2)."""
     dims = []
     h, w = cfg.base_height, cfg.base_width
     for o in range(cfg.num_octaves):
         if o > 0:
-            h, w = int(round(h / 2.0)), int(round(w / 2.0))
+            if cfg.downsample == "nearest":
+                h, w = h // 2, w // 2
+            else:
+                h, w = int(round(h / 2.0)), int(round(w / 2.0))
         h, w = max(h, 1), max(w, 1)
         dims.append((h, w))
     return dims
@@ -190,8 +194,12 @@ def build_plan(cfg: SiftConfig) -> SiftPlan:
         blur_h.append(hs)
         if o > 0:
             ph, pw = dims[o - 1]
-            dv = g.resize_operator(h, ph)
-            dh = g.resize_operator(w, pw)
+            if cfg.downsample == "nearest":
+                dv = g.decimation_operator(h, ph)
+                dh = g.decimation_operator(w, pw)
+            else:
+                dv = g.resize_operator(h, ph)
+                dh = g.resize_operator(w, pw)
             down_v.append(dv)
             down_h.append(dh)
             # carry: this octave's base from the previous octave's base,

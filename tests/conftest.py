@@ -1,10 +1,50 @@
 """Test configuration: force the CPU backend with 8 virtual devices so
 single-chip numerics and multi-chip sharding are both testable without TPU
-hardware (the driver separately dry-runs the multi-chip path)."""
-import os
+hardware (the driver separately dry-runs the multi-chip path).
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+The environment boots a TPU PJRT plugin via sitecustomize before test code
+runs, so env vars are too late — the platform is pinned through jax.config.
+"""
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+
+import numpy as np
+import pytest
+
+
+def synthetic_image(height=240, width=320, seed=0, n_blobs=40):
+    """Structured synthetic test frame: random filled circles + noise.
+    Deterministic per seed; produces 100+ SIFT keypoints at 240x320."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    img = np.zeros((height, width), np.float32)
+    for _ in range(n_blobs):
+        y = int(rng.integers(20, height - 20))
+        x = int(rng.integers(20, width - 20))
+        r = int(rng.integers(3, 15))
+        cv2.circle(img, (x, y), r, float(rng.uniform(50, 255)), -1)
+    img += rng.normal(0, 5, (height, width)).astype(np.float32)
+    return np.clip(img, 0, 255)
+
+
+@pytest.fixture(scope="session")
+def test_image():
+    return synthetic_image()
+
+
+@pytest.fixture(scope="session")
+def test_image_pair():
+    """Two views of the same synthetic scene related by a small warp
+    (for matching / two-view geometry tests)."""
+    import cv2
+
+    a = synthetic_image(seed=0)
+    h, w = a.shape
+    m = cv2.getRotationMatrix2D((w / 2, h / 2), 5.0, 1.02)
+    m[:, 2] += (3.0, -2.0)
+    b = cv2.warpAffine(a, m, (w, h), flags=cv2.INTER_LINEAR,
+                       borderMode=cv2.BORDER_REFLECT_101)
+    return a, b, m
