@@ -24,28 +24,22 @@ def main():
 
     from sift_tpu.config import SiftConfig
     from sift_tpu.core.types import build_plan
+    from sift_tpu.perf.timing import measure_ms
     from sift_tpu.pipeline.detector import build_detect_fn
 
     cfg = SiftConfig(width=752, height=480, num_features=5000)
     plan = build_plan(cfg)
-    fn = jax.jit(build_detect_fn(plan))
+    detect = build_detect_fn(plan)
+
+    def step(img):
+        res = detect(img)
+        return img, jnp.sum(res.descriptors) + jnp.sum(res.keypoints.x)
 
     rng = np.random.default_rng(0)
     host = np.clip(rng.normal(128, 40, (480, 752)), 0, 255)
     img = jax.device_put(jnp.asarray(host, jnp.float32))
 
-    # Warm-up: trace + compile (the reference's 3-iteration steady-state
-    # contract, doc/faq.md:3).
-    jax.block_until_ready(fn(img))
-    jax.block_until_ready(fn(img))
-
-    iters = 50
-    times = []
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        jax.block_until_ready(fn(img))
-        times.append((time.perf_counter() - t0) * 1e3)
-    ms = float(np.median(times))
+    ms = measure_ms(step, img)
 
     print(json.dumps({
         "metric": "detect_compute_752x480",

@@ -7,8 +7,9 @@ spatial x 8 orientation grid, trilinear interpolation into a
 0.2*norm -> renormalize -> scale.
 
 TPU-first: the 128-threads-per-keypoint shared-memory atomicAdd scatter
-becomes a batched gather + fused reductions.  Key identity: the trilinear
-scatter-with-fold is exactly
+becomes ONE batched pass over keypoints of ALL octaves (flat-pyramid
+gather of dense precomputed gradients) + fused reductions.  Key identity:
+the trilinear scatter-with-fold is exactly
 
     desc[k, R, C, o] = sum_p mag_p * hat(rbin_p + 1 - R) * hat(cbin_p + 1 - C)
                              * circular_hat_8(obin_p - o)
@@ -16,8 +17,10 @@ scatter-with-fold is exactly
 with hat(t) = max(0, 1 - |t|): only the 4x4 retained spatial cells are ever
 computed (the reference's border histogram cells are written then discarded;
 its orientation wrap bins 8/9 fold into 0/1, SiftOps.cu:431-446, which the
-circular hat performs implicitly).  No atomics, no scatter — the race class
-the reference manages with __syncthreads is eliminated by construction.
+circular hat performs implicitly).  The Gaussian window weight is rotation-
+invariant (|rot(i,j)| = |(i,j)|), so it is computed as two separable
+s-length exp vectors.  The pixel contraction runs on the MXU.  No atomics,
+no scatter.
 
 Output quantizations:
 * "opencv"    — saturate_cast<uchar>(v * 512/norm): rounded, clamped to 255
@@ -35,7 +38,8 @@ import jax.numpy as jnp
 from sift_tpu.config import (SIFT_DESCR_HIST_BINS, SIFT_DESCR_SCL_FCTR,
                              SIFT_DESCR_WIDTH, SIFT_INT_DESCR_FCTR,
                              SiftConfig)
-from sift_tpu.ops.patches import gather_patches, patch_gradients
+from sift_tpu.ops.flatpyr import (FlatPyramid, dense_gradients,
+                                  gather_patches_flat)
 
 _D = SIFT_DESCR_WIDTH        # 4 spatial cells per side
 _NB = SIFT_DESCR_HIST_BINS   # 8 orientation bins
@@ -54,28 +58,25 @@ def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def compute_descriptors(block: jnp.ndarray, x, y, layer, size, angle, valid,
-                        octave: int, cfg: SiftConfig,
-                        chunk: int = 512):
-    """block: [D, H, W] Gaussian stack of this octave (the reference reads
-    descriptors from the Gaussian pyramid, interface/Detector.cu:569-578).
-    x/y/size in base-image space, angle in degrees.
+def compute_descriptors_flat(mag: FlatPyramid, ori: FlatPyramid,
+                             octave, x, y, layer, size, angle, valid,
+                             cfg: SiftConfig, chunk: int = 512):
+    """One global pass over keypoints of every octave.
+
+    mag/ori: flattened dense gradient pyramids; octave [K] int32; x/y/size
+    in base-image space; angle in degrees.
 
     Returns (desc [K, 128] float32 pre-quantization, nrm2 [K, 1]); invalid
     slots are zero.  Work is chunked over keypoints to bound temporaries.
     """
-    h, w = block.shape[1], block.shape[2]
-    inv = 1.0 / float(1 << octave)
+    inv = jnp.exp2(-octave.astype(jnp.float32))
     px = jnp.round(x * inv).astype(jnp.int32)
     py = jnp.round(y * inv).astype(jnp.int32)
     scl = size * 0.5 * inv
     ang = 360.0 - angle
     ang = jnp.where(jnp.abs(ang - 360.0) < 1e-6, 0.0, ang)
 
-    rmax = min(max_descr_radius(cfg),
-               int(math.sqrt(float(h * h + w * w))) + 1)
-    s = 2 * (rmax + 1) + 1
-
+    s = 2 * max_descr_radius(cfg) + 1
     k = x.shape[0]
     nchunk = max(1, -(-k // chunk))
     pad = nchunk * chunk - k
@@ -85,12 +86,10 @@ def compute_descriptors(block: jnp.ndarray, x, y, layer, size, angle, valid,
             if pad else a
 
     args = tuple(pad0(a).reshape(nchunk, chunk, *a.shape[1:]) for a in
-                 (px, py, layer, scl, ang, valid))
+                 (octave, px, py, layer, scl, ang, valid))
 
     def body(ch):
-        cpx, cpy, clyr, cscl, cang, cval = ch
-        return _descriptor_hist(block, cpx, cpy, clyr, cscl, cang, cval,
-                                h, w, s)
+        return _descriptor_hist(mag, ori, *ch, s)
 
     if nchunk == 1:
         hist = body(tuple(a[0] for a in args))[None]
@@ -100,53 +99,61 @@ def compute_descriptors(block: jnp.ndarray, x, y, layer, size, angle, valid,
     return finalize_descriptor(hist)
 
 
-def _descriptor_hist(block, px, py, layer, scl, ang, valid, h, w, s):
-    """[Kc, D, D, NB] histogram via hat-function reductions."""
+def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid, s):
+    """[Kc, D, D, NB] histogram via hat-function reductions on the MXU."""
     hist_width = SIFT_DESCR_SCL_FCTR * scl
     arad = ang * (math.pi / 180.0)
-    cos_t = jnp.cos(arad) / hist_width
-    sin_t = jnp.sin(arad) / hist_width
-    radius = jnp.round(hist_width * math.sqrt(2.0) * (_D + 1) * 0.5)
-    radius = jnp.minimum(radius, math.sqrt(float(h * h + w * w)))
+    inv_hw = 1.0 / jnp.maximum(hist_width, 1e-12)
+    cos_t = jnp.cos(arad) * inv_hw
+    sin_t = jnp.sin(arad) * inv_hw
 
-    patch, offy, offx = gather_patches(block, layer, py, px, s)
-    dx, dy = patch_gradients(patch)              # [Kc, s-2, s-2]
-    ii = offy[1:-1][None, :, None].astype(jnp.float32)
-    jj = offx[1:-1][None, None, :].astype(jnp.float32)
+    _, h, w = mag.octave_geometry(octave)
+    diag = jnp.sqrt((h * h + w * w).astype(jnp.float32))
+    radius = jnp.minimum(
+        jnp.round(hist_width * math.sqrt(2.0) * (_D + 1) * 0.5), diag)
+
+    m_p, off = gather_patches_flat(mag, octave, layer, py, px, s)
+    o_p, _ = gather_patches_flat(ori, octave, layer, py, px, s)
+    offf = off.astype(jnp.float32)
+    ii = offf[None, :, None]                             # rows
+    jj = offf[None, None, :]                             # cols
 
     c_rot = jj * cos_t[:, None, None] - ii * sin_t[:, None, None]
     r_rot = jj * sin_t[:, None, None] + ii * cos_t[:, None, None]
     rbin = r_rot + (_D / 2 - 0.5)
     cbin = c_rot + (_D / 2 - 0.5)
 
-    pyy = py[:, None, None] + ii.astype(jnp.int32)
-    pxx = px[:, None, None] + jj.astype(jnp.int32)
-    rad = radius[:, None, None]
-    m = ((rbin > -1) & (rbin < _D) & (cbin > -1) & (cbin < _D)
-         & (pyy > 0) & (pyy < h - 1) & (pxx > 0) & (pxx < w - 1)
-         & (jnp.abs(ii) <= rad) & (jnp.abs(jj) <= rad)
-         & valid[:, None, None])
+    # Separable window: image-bounds/radius masks per axis, and the
+    # Gaussian weight exp(-(c_rot^2 + r_rot^2)/(0.5 D^2)) equals
+    # exp(-(i^2 + j^2) inv_hw^2 / (0.5 D^2)) — rotation preserves norm.
+    pyy = py[:, None] + off[None, :]
+    pxx = px[:, None] + off[None, :]
+    in_y = (pyy > 0) & (pyy < (h - 1)[:, None])
+    in_x = (pxx > 0) & (pxx < (w - 1)[:, None])
+    rad = radius[:, None]
+    es = (inv_hw * inv_hw * (-1.0 / (_D * _D * 0.5)))[:, None]
+    wy = jnp.exp(offf[None, :] ** 2 * es) \
+        * (in_y & (jnp.abs(offf)[None, :] <= rad))
+    wx = jnp.exp(offf[None, :] ** 2 * es) \
+        * (in_x & (jnp.abs(offf)[None, :] <= rad))
+    wgt = wy[:, :, None] * wx[:, None, :] * valid[:, None, None]
 
-    grad_mag = jnp.sqrt(dx * dx + dy * dy)
-    grad_ori = jnp.arctan2(dy, dx) * (180.0 / math.pi)
-    grad_ori = jnp.where(grad_ori < 0, grad_ori + 360.0, grad_ori)
-    wexp = jnp.exp((c_rot * c_rot + r_rot * r_rot)
-                   * (-1.0 / (_D * _D * 0.5)))
-    mag = jnp.where(m, grad_mag * wexp, 0.0)
+    m = (rbin > -1) & (rbin < _D) & (cbin > -1) & (cbin < _D)
+    mag_w = jnp.where(m, m_p * wgt, 0.0)                 # [Kc, S, S]
 
-    obin = (grad_ori - ang[:, None, None]) * (_NB / 360.0)
-    ob = jnp.mod(obin, float(_NB))               # circular position in [0, 8)
+    obin = (o_p - ang[:, None, None]) * (_NB / 360.0)
+    ob = jnp.mod(obin, float(_NB))                       # [0, 8)
 
     # Separable hat tensors; contraction over pixels runs on the MXU.
     kc = px.shape[0]
-    p = (rbin.shape[1]) * (rbin.shape[2])
+    p = s * s
     cells = jnp.arange(1, _D + 1, dtype=jnp.float32)
     hr = _hat(rbin.reshape(kc, p)[:, :, None] + 1.0 - cells)   # [Kc, P, 4]
     hc = _hat(cbin.reshape(kc, p)[:, :, None] + 1.0 - cells)   # [Kc, P, 4]
     od = jnp.abs(ob.reshape(kc, p)[:, :, None]
                  - jnp.arange(_NB, dtype=jnp.float32))
     wo = jnp.maximum(0.0, 1.0 - jnp.minimum(od, float(_NB) - od))
-    wo = wo * mag.reshape(kc, p)[:, :, None]                   # [Kc, P, 8]
+    wo = wo * mag_w.reshape(kc, p)[:, :, None]                 # [Kc, P, 8]
     hrc = hr[:, :, :, None] * hc[:, :, None, :]                # [Kc, P, 4, 4]
     return jax.lax.dot_general(
         hrc.reshape(kc, p, _D * _D), wo,
@@ -154,6 +161,22 @@ def _descriptor_hist(block, px, py, layer, scl, ang, valid, h, w, s):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     ).reshape(kc, _D, _D, _NB)                   # [Kc, D, D, NB]
+
+
+def compute_descriptors(block: jnp.ndarray, x, y, layer, size, angle, valid,
+                        octave: int, cfg: SiftConfig, chunk: int = 512):
+    """Single-octave wrapper (golden-replay API parity): block [D, H, W]
+    Gaussian stack of this octave; x/y/size in base-image space."""
+    from sift_tpu.ops.flatpyr import flatten_pyramid
+
+    mags, oris = dense_gradients([block])
+    mag = flatten_pyramid(mags)
+    ori = flatten_pyramid(oris)
+    oct_arr = jnp.zeros(x.shape, jnp.int32)
+    inv = 1.0 / float(1 << octave)
+    return compute_descriptors_flat(mag, ori, oct_arr, x * inv, y * inv,
+                                    layer, size * inv, angle, valid, cfg,
+                                    chunk)
 
 
 def finalize_descriptor(hist: jnp.ndarray):

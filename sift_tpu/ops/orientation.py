@@ -5,10 +5,17 @@ Equivalent capability to the reference's ``calOriHistMultiThread``
 gradient-orientation histogram over a square window, (6,4,1)/16 circular
 smoothing, and one emitted keypoint per local max >= 0.8 * peak.
 
-TPU-first: warp-per-keypoint shared-memory atomics become a batched masked
-histogram — a static-size patch gather per keypoint, then 36 fused masked
-reductions (no scatter).  Peak expansion produces a fixed [K, 36] candidate
-grid + mask, compacted downstream.
+TPU-first: warp-per-keypoint shared-memory atomics become ONE batched
+masked histogram over keypoints of ALL octaves at once (flat-pyramid
+gather of DENSE precomputed gradients, ops/flatpyr.py), with
+
+* separable Gaussian window weights (two s-length exp vectors per keypoint
+  instead of s^2 transcendentals);
+* the bin scatter as a chunked one-hot contraction on the MXU (no atomics
+  — the race class the reference manages with __syncwarp is eliminated by
+  construction);
+* peak expansion as a fixed [K, 36] candidate grid + mask, compacted
+  downstream.
 
 Deviations from the reference, both gated on OpenCV (the reference's own
 oracle, readme.md:5):
@@ -24,11 +31,13 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 
 from sift_tpu.config import (SIFT_ORI_HIST_BINS, SIFT_ORI_PEAK_RATIO,
                              SIFT_ORI_RADIUS, SIFT_ORI_SIG_FCTR, SiftConfig)
-from sift_tpu.ops.patches import gather_patches, patch_gradients
+from sift_tpu.ops.flatpyr import (FlatPyramid, dense_gradients,
+                                  gather_patches_flat)
 
 _NB = SIFT_ORI_HIST_BINS
 
@@ -41,48 +50,97 @@ def max_ori_radius(cfg: SiftConfig) -> int:
     return int(round(SIFT_ORI_RADIUS * scl_max))
 
 
-def orientation_histograms(block: jnp.ndarray, x, y, layer, size, valid,
-                           octave: int, cfg: SiftConfig) -> jnp.ndarray:
-    """block: [D, H, W] source image stack (Gaussian or DoG per config);
-    x/y in base-image space; size in base-image space.  Returns raw
-    histograms [K, 36]."""
-    h, w = block.shape[1], block.shape[2]
-    inv = 1.0 / float(1 << octave)
+def orientation_histograms_flat(mag: FlatPyramid, ori: FlatPyramid,
+                                octave, x, y, layer, size, valid,
+                                cfg: SiftConfig,
+                                chunk: int = 1024) -> jnp.ndarray:
+    """One global pass over keypoints of every octave.
+
+    mag/ori: flattened dense gradient pyramids; octave: [K] int32 per
+    keypoint; x/y/size in base-image space.  Returns raw histograms
+    [K, 36]."""
+    inv = jnp.exp2(-octave.astype(jnp.float32))
     px = jnp.round(x * inv).astype(jnp.int32)
     py = jnp.round(y * inv).astype(jnp.int32)
     scl_octv = size * 0.5 * inv
     sigma_ori = SIFT_ORI_SIG_FCTR * scl_octv
     radius = jnp.round(SIFT_ORI_RADIUS * scl_octv)
 
-    rmax = max_ori_radius(cfg)
-    s = 2 * (rmax + 1) + 1  # +1 halo for central differences
-    patch, offy, offx = gather_patches(block, layer, py, px, s)
-    dx, dy = patch_gradients(patch)            # [K, s-2, s-2]
-    ii = offy[1:-1][None, :, None].astype(jnp.float32)
-    jj = offx[1:-1][None, None, :].astype(jnp.float32)
+    s = 2 * max_ori_radius(cfg) + 1
+    k = x.shape[0]
+    nchunk = max(1, -(-k // chunk))
+    pad = nchunk * chunk - k
 
-    pyy = py[:, None, None] + ii.astype(jnp.int32)
-    pxx = px[:, None, None] + jj.astype(jnp.int32)
-    in_img = ((pyy >= 1) & (pyy <= h - 2) & (pxx >= 1) & (pxx <= w - 2))
-    rad = radius[:, None, None]
-    in_win = (jnp.abs(ii) <= rad) & (jnp.abs(jj) <= rad)
-    m = in_img & in_win & valid[:, None, None]
+    def pad0(a):
+        return jnp.concatenate([a, jnp.zeros((pad,) + a.shape[1:],
+                                             a.dtype)]) if pad else a
 
-    mag = jnp.sqrt(dx * dx + dy * dy)
-    ori = jnp.arctan2(dy, dx) * (180.0 / math.pi)
-    ori = jnp.where(ori < 0, ori + 360.0, ori)
-    wexp = jnp.exp((-0.5 / (sigma_ori * sigma_ori))[:, None, None]
-                   * (ii * ii + jj * jj))
-    contrib = jnp.where(m, wexp * mag, 0.0)
+    args = tuple(pad0(a).reshape(nchunk, chunk) for a in
+                 (octave, px, py, layer, sigma_ori, radius, valid))
 
-    b = jnp.round(ori * (_NB / 360.0)).astype(jnp.int32)
+    def body(ch):
+        coct, cpx, cpy, clyr, csig, crad, cval = ch
+        return _hist_chunk(mag, ori, coct, cpx, cpy, clyr, csig, crad,
+                           cval, s)
+
+    if nchunk == 1:
+        hist = body(tuple(a[0] for a in args))[None]
+    else:
+        hist = jax.lax.map(body, args)
+    return hist.reshape(nchunk * chunk, _NB)[:k]
+
+
+def _hist_chunk(mag, ori, octave, px, py, layer, sigma_ori, radius, valid,
+                s):
+    m_p, off = gather_patches_flat(mag, octave, layer, py, px, s)
+    o_p, _ = gather_patches_flat(ori, octave, layer, py, px, s)
+    offf = off.astype(jnp.float32)
+
+    _, h, w = mag.octave_geometry(octave)
+    pyy = py[:, None] + off[None, :]                    # [K, S]
+    pxx = px[:, None] + off[None, :]
+    in_y = (pyy >= 1) & (pyy <= (h - 2)[:, None])
+    in_x = (pxx >= 1) & (pxx <= (w - 2)[:, None])
+    rad = radius[:, None]
+    win_y = jnp.abs(offf)[None, :] <= rad
+    win_x = win_y
+    # Separable Gaussian weights: exp(-(i^2 + j^2) es) = wy_i * wx_j.
+    es = (-0.5 / jnp.maximum(sigma_ori * sigma_ori, 1e-12))[:, None]
+    wy = jnp.exp(offf[None, :] ** 2 * es) * (in_y & win_y)
+    wx = jnp.exp(offf[None, :] ** 2 * es) * (in_x & win_x)
+    wgt = wy[:, :, None] * wx[:, None, :] * valid[:, None, None]
+
+    contrib = wgt * m_p                                 # [K, S, S]
+    b = jnp.round(o_p * (_NB / 360.0)).astype(jnp.int32)
     b = jnp.where(b >= _NB, b - _NB, b)
     b = jnp.where(b < 0, b + _NB, b)
 
-    # One fused masked one-hot reduction instead of atomics (SiftOps.cu:324).
-    onehot = (b[..., None] == jnp.arange(_NB, dtype=jnp.int32))
-    hist = jnp.sum(jnp.where(onehot, contrib[..., None], 0.0), axis=(1, 2))
-    return hist
+    # Chunked one-hot contraction (MXU) instead of atomic scatter.
+    kc = px.shape[0]
+    p = s * s
+    onehot = (b.reshape(kc, p)[:, :, None]
+              == jnp.arange(_NB, dtype=jnp.int32)).astype(jnp.float32)
+    return jax.lax.dot_general(
+        contrib.reshape(kc, 1, p), onehot,
+        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)[:, 0, :]    # [Kc, 36]
+
+
+def orientation_histograms(block: jnp.ndarray, x, y, layer, size, valid,
+                           octave: int, cfg: SiftConfig) -> jnp.ndarray:
+    """Single-octave wrapper (golden-replay API parity): block [D, H, W]
+    source stack; octave is this block's pyramid octave index."""
+    from sift_tpu.ops.flatpyr import flatten_pyramid
+
+    mags, oris = dense_gradients([block])
+    mag = flatten_pyramid(mags)
+    ori = flatten_pyramid(oris)
+    # base-image -> this octave's scale uses 2^octave, but the flat
+    # pyramid has a single block at index 0; pre-scale coordinates.
+    oct_arr = jnp.zeros(x.shape, jnp.int32)
+    inv = 1.0 / float(1 << octave)
+    return orientation_histograms_flat(
+        mag, ori, oct_arr, x * inv, y * inv, layer, size * inv, valid, cfg)
 
 
 def smooth_histogram(hist: jnp.ndarray) -> jnp.ndarray:

@@ -14,6 +14,14 @@ Equivalent capability to the reference's ``Detector``
   count readback, Detector.cu:542-559, does not exist here).
 * ``prev_descriptor`` rotation (Detector.cu:136-141) -> kept by the host
   wrapper for sequential matching.
+
+Pipeline shape (TPU-first): detection/refinement run per octave (cheap,
+shapes differ per octave), then keypoints of ALL octaves are compacted into
+ONE fixed-capacity set and orientation + descriptors run as single global
+batched passes over a flattened gradient pyramid (ops/flatpyr.py) — the
+expensive per-keypoint work costs one capacity, not one per octave (the
+reference instead launches per-octave kernels on round-robin streams,
+Detector.cu:555-582).
 """
 
 from __future__ import annotations
@@ -29,59 +37,10 @@ from sift_tpu.core.types import Keypoints, SiftPlan, SiftResult, build_plan
 from sift_tpu.ops import compact as C
 from sift_tpu.ops import descriptor as D
 from sift_tpu.ops import orientation as O
+from sift_tpu.ops.flatpyr import dense_gradients, flatten_pyramid
 from sift_tpu.ops.peaks import find_candidates
 from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
 from sift_tpu.ops.refine import refine_keypoints
-
-
-def _octave_keypoints(plan: SiftPlan, o: int, gauss, dog):
-    """One octave: peaks -> refine -> compact -> orientation -> expand ->
-    compact -> descriptors.  Returns (Keypoints[kpt_cap], desc [kpt_cap,128],
-    nrm2)."""
-    cfg = plan.config
-    op = plan.octaves[o]
-
-    cx, cy, clyr, cval = find_candidates(
-        dog, cfg.peak_threshold, SIFT_IMG_BORDER, op.cand_cap)
-    ref = refine_keypoints(dog, cx, cy, clyr, cval, o, cfg)
-
-    # Compact survivors in index order (≙ collectKpts, SiftOps.cu:210-235).
-    idx, val = C.stream_compact(ref.valid, op.kpt_cap)
-    kx = jnp.take(ref.x, idx)
-    ky = jnp.take(ref.y, idx)
-    klyr = jnp.take(ref.layer, idx)
-    kxi = jnp.take(ref.xi, idx)
-    ksize = jnp.take(ref.size, idx)
-    kresp = jnp.take(ref.response, idx)
-
-    ori_block = gauss if cfg.orientation_source == "gaussian" else dog
-    hist = O.orientation_histograms(ori_block, kx, ky, klyr, ksize, val,
-                                    o, cfg)
-    angles, peaks = O.orientation_peaks(hist, val, cfg)
-
-    # Expansion: up to 36 oriented copies per keypoint (SiftOps.cu:338-373),
-    # flattened to [kpt_cap * 36] and compacted back to kpt_cap.
-    nb = angles.shape[1]
-    eidx, evalid = C.stream_compact(peaks.reshape(-1), op.kpt_cap)
-    src = eidx // nb
-
-    kps = Keypoints(
-        x=jnp.take(kx, src), y=jnp.take(ky, src),
-        layer=jnp.take(klyr, src),
-        octave=jnp.full(src.shape, o, jnp.int32),
-        xi=jnp.take(kxi, src), size=jnp.take(ksize, src),
-        response=jnp.take(kresp, src),
-        angle=jnp.take(angles.reshape(-1), eidx),
-        valid=evalid)
-
-    desc, nrm2 = D.compute_descriptors(
-        gauss, kps.x, kps.y, kps.layer, kps.size, kps.angle, kps.valid,
-        o, cfg)
-    return kps, desc, nrm2
-
-
-def _concat_keypoints(parts: List[Keypoints]) -> Keypoints:
-    return Keypoints(*[jnp.concatenate(f) for f in zip(*parts)])
 
 
 def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
@@ -92,25 +51,75 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
         gauss = gaussian_pyramid(plan, image)
         dogs = dog_pyramid(gauss)
 
-        kp_parts, d_parts, n_parts = [], [], []
+        # Per-octave detection + refinement (octave-major order, matching
+        # the reference's cross-octave collection order,
+        # utils/CudaMemcpyUtils.cu:21-70).
+        rx, ry, rlyr, rxi, rsize, rresp, roct, rval = \
+            [], [], [], [], [], [], [], []
         for o in range(cfg.num_octaves):
-            kps, desc, nrm2 = _octave_keypoints(plan, o, gauss[o], dogs[o])
-            kp_parts.append(kps)
-            d_parts.append(desc)
-            n_parts.append(nrm2)
+            op = plan.octaves[o]
+            cx, cy, clyr, cval = find_candidates(
+                dogs[o], cfg.peak_threshold, SIFT_IMG_BORDER, op.cand_cap)
+            ref = refine_keypoints(dogs[o], cx, cy, clyr, cval, o, cfg)
+            rx.append(ref.x)
+            ry.append(ref.y)
+            rlyr.append(ref.layer)
+            rxi.append(ref.xi)
+            rsize.append(ref.size)
+            rresp.append(ref.response)
+            roct.append(jnp.full(ref.x.shape, o, jnp.int32))
+            rval.append(ref.valid)
+        cat = lambda xs: jnp.concatenate(xs)
+        rx, ry, rlyr, rxi, rsize, rresp, roct, rval = map(
+            cat, (rx, ry, rlyr, rxi, rsize, rresp, roct, rval))
 
-        all_kps = _concat_keypoints(kp_parts)
-        all_desc = jnp.concatenate(d_parts)
-        all_nrm = jnp.concatenate(n_parts)
+        # Global compaction: ONE fixed-capacity keypoint set across all
+        # octaves (≙ collectKpts per octave + the cross-octave gather).
+        idx, val = C.stream_compact(rval, cfg.num_features)
+        kx = jnp.take(rx, idx)
+        ky = jnp.take(ry, idx)
+        klyr = jnp.take(rlyr, idx)
+        kxi = jnp.take(rxi, idx)
+        ksize = jnp.take(rsize, idx)
+        kresp = jnp.take(rresp, idx)
+        koct = jnp.take(roct, idx)
 
-        # Cross-octave gather to num_features capacity, octave/index order
-        # (≙ collectKptsAndDescriptor, utils/CudaMemcpyUtils.cu:21-70).
-        idx, val = C.stream_compact(all_kps.valid, cfg.num_features)
-        kps = Keypoints(*[jnp.take(f, idx) for f in all_kps[:-1]], valid=val)
-        desc = jnp.take(all_desc, idx, axis=0)
-        nrm2 = jnp.take(all_nrm, idx, axis=0)
+        # Dense gradients once per frame; flattened for global gathers.
+        g_mags, g_oris = dense_gradients(gauss)
+        magf = flatten_pyramid(g_mags)
+        orif = flatten_pyramid(g_oris)
+        if cfg.orientation_source == "gaussian":
+            o_magf, o_orif = magf, orif
+        else:
+            d_mags, d_oris = dense_gradients(dogs)
+            o_magf = flatten_pyramid(d_mags)
+            o_orif = flatten_pyramid(d_oris)
+
+        hist = O.orientation_histograms_flat(
+            o_magf, o_orif, koct, kx, ky, klyr, ksize, val, cfg)
+        angles, peaks = O.orientation_peaks(hist, val, cfg)
+
+        # Expansion: up to 36 oriented copies per keypoint
+        # (SiftOps.cu:338-373), flattened and compacted to num_features.
+        nb = angles.shape[1]
+        eidx, evalid = C.stream_compact(peaks.reshape(-1),
+                                        cfg.num_features)
+        src = eidx // nb
+
+        kps = Keypoints(
+            x=jnp.take(kx, src), y=jnp.take(ky, src),
+            layer=jnp.take(klyr, src),
+            octave=jnp.take(koct, src),
+            xi=jnp.take(kxi, src), size=jnp.take(ksize, src),
+            response=jnp.take(kresp, src),
+            angle=jnp.take(angles.reshape(-1), eidx),
+            valid=evalid)
+
+        desc, nrm2 = D.compute_descriptors_flat(
+            magf, orif, kps.octave, kps.x, kps.y, kps.layer, kps.size,
+            kps.angle, kps.valid, cfg)
         desc = D.quantize_descriptor(desc, nrm2, quant_mode)
-        desc = jnp.where(val[:, None], desc, 0.0)
+        desc = jnp.where(evalid[:, None], desc, 0.0)
 
         if cfg.upscale:
             # OpenCV firstOctave = -1 final adjustment: halve coords/size,
