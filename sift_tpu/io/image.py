@@ -61,10 +61,21 @@ def matches_to_cv_dmatches(match_idx: np.ndarray) -> List:
 
 def load_image_directory(path: str) -> Tuple[List[str], List[np.ndarray]]:
     """Sorted grayscale frames from a directory
-    (≙ loadImagesFromDirectory, extract_and_match_example.cc:14-34)."""
+    (≙ loadImagesFromDirectory, extract_and_match_example.cc:14-34).
+    PNM directories decode through the native multithreaded loader
+    (native/sift_io.cpp) when it is built; everything else via cv2."""
     import os
 
-    exts = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".pgm"}
+    exts = {".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff", ".pgm",
+            ".ppm", ".pnm"}
     names = sorted(f for f in os.listdir(path)
                    if os.path.splitext(f)[1].lower() in exts)
-    return names, [load_grayscale(os.path.join(path, f)) for f in names]
+    paths = [os.path.join(path, f) for f in names]
+
+    pnm = {".pgm", ".ppm", ".pnm"}
+    if names and all(os.path.splitext(f)[1].lower() in pnm for f in names):
+        from sift_tpu.io import native
+
+        if native.available():
+            return names, list(native.FrameLoader(paths, n_threads=4))
+    return names, [load_grayscale(p) for p in paths]

@@ -38,8 +38,8 @@ import jax.numpy as jnp
 from sift_tpu.config import (SIFT_DESCR_HIST_BINS, SIFT_DESCR_SCL_FCTR,
                              SIFT_DESCR_WIDTH, SIFT_INT_DESCR_FCTR,
                              SiftConfig)
-from sift_tpu.ops.flatpyr import (FlatPyramid, dense_gradients,
-                                  gather_patches_flat)
+from sift_tpu.ops.flatpyr import (PaddedPyramid, dense_gradients_padded,
+                                  gather_windows, pad_pyramid)
 
 _D = SIFT_DESCR_WIDTH        # 4 spatial cells per side
 _NB = SIFT_DESCR_HIST_BINS   # 8 orientation bins
@@ -58,12 +58,12 @@ def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def compute_descriptors_flat(mag: FlatPyramid, ori: FlatPyramid,
+def compute_descriptors_flat(mag: PaddedPyramid, ori: PaddedPyramid,
                              octave, x, y, layer, size, angle, valid,
                              cfg: SiftConfig, chunk: int = 512):
     """One global pass over keypoints of every octave.
 
-    mag/ori: flattened dense gradient pyramids; octave [K] int32; x/y/size
+    mag/ori: padded dense gradient pyramids; octave [K] int32; x/y/size
     in base-image space; angle in degrees.
 
     Returns (desc [K, 128] float32 pre-quantization, nrm2 [K, 1]); invalid
@@ -107,16 +107,17 @@ def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid, s):
     cos_t = jnp.cos(arad) * inv_hw
     sin_t = jnp.sin(arad) * inv_hw
 
-    _, h, w = mag.octave_geometry(octave)
+    h, w = mag.octave_geometry(octave)
     diag = jnp.sqrt((h * h + w * w).astype(jnp.float32))
     radius = jnp.minimum(
         jnp.round(hist_width * math.sqrt(2.0) * (_D + 1) * 0.5), diag)
 
-    m_p, off = gather_patches_flat(mag, octave, layer, py, px, s)
-    o_p, _ = gather_patches_flat(ori, octave, layer, py, px, s)
-    offf = off.astype(jnp.float32)
-    ii = offf[None, :, None]                             # rows
-    jj = offf[None, None, :]                             # cols
+    m_p, offy, offx = gather_windows(mag, octave, layer, py, px, s)
+    o_p, _, _ = gather_windows(ori, octave, layer, py, px, s)
+    offyf = offy.astype(jnp.float32)                     # [Kc, S]
+    offxf = offx.astype(jnp.float32)
+    ii = offyf[:, :, None]                               # rows
+    jj = offxf[:, None, :]                               # cols
 
     c_rot = jj * cos_t[:, None, None] - ii * sin_t[:, None, None]
     r_rot = jj * sin_t[:, None, None] + ii * cos_t[:, None, None]
@@ -126,16 +127,14 @@ def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid, s):
     # Separable window: image-bounds/radius masks per axis, and the
     # Gaussian weight exp(-(c_rot^2 + r_rot^2)/(0.5 D^2)) equals
     # exp(-(i^2 + j^2) inv_hw^2 / (0.5 D^2)) — rotation preserves norm.
-    pyy = py[:, None] + off[None, :]
-    pxx = px[:, None] + off[None, :]
+    pyy = py[:, None] + offy
+    pxx = px[:, None] + offx
     in_y = (pyy > 0) & (pyy < (h - 1)[:, None])
     in_x = (pxx > 0) & (pxx < (w - 1)[:, None])
     rad = radius[:, None]
     es = (inv_hw * inv_hw * (-1.0 / (_D * _D * 0.5)))[:, None]
-    wy = jnp.exp(offf[None, :] ** 2 * es) \
-        * (in_y & (jnp.abs(offf)[None, :] <= rad))
-    wx = jnp.exp(offf[None, :] ** 2 * es) \
-        * (in_x & (jnp.abs(offf)[None, :] <= rad))
+    wy = jnp.exp(offyf ** 2 * es) * (in_y & (jnp.abs(offyf) <= rad))
+    wx = jnp.exp(offxf ** 2 * es) * (in_x & (jnp.abs(offxf) <= rad))
     wgt = wy[:, :, None] * wx[:, None, :] * valid[:, None, None]
 
     m = (rbin > -1) & (rbin < _D) & (cbin > -1) & (cbin < _D)
@@ -167,11 +166,8 @@ def compute_descriptors(block: jnp.ndarray, x, y, layer, size, angle, valid,
                         octave: int, cfg: SiftConfig, chunk: int = 512):
     """Single-octave wrapper (golden-replay API parity): block [D, H, W]
     Gaussian stack of this octave; x/y/size in base-image space."""
-    from sift_tpu.ops.flatpyr import flatten_pyramid
-
-    mags, oris = dense_gradients([block])
-    mag = flatten_pyramid(mags)
-    ori = flatten_pyramid(oris)
+    padded = pad_pyramid([block])
+    mag, ori = dense_gradients_padded(padded)
     oct_arr = jnp.zeros(x.shape, jnp.int32)
     inv = 1.0 / float(1 << octave)
     return compute_descriptors_flat(mag, ori, oct_arr, x * inv, y * inv,

@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import List, NamedTuple, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 
@@ -73,6 +74,89 @@ def gather_patches_flat(flat: FlatPyramid, octave, layer, cy, cx,
     patch = jnp.take(flat.values, idx.reshape(idx.shape[0], -1),
                      axis=0).reshape(-1, size, size)
     return patch, off
+
+
+class PaddedPyramid(NamedTuple):
+    """Uniform-shape pyramid: every octave's [D, H_o, W_o] block embedded
+    at the top-left of a [D, Hp, Wp] slab, stacked to [O*D, Hp, Wp].
+
+    The uniform shape is what unlocks fast patch access: a per-keypoint
+    window becomes ONE vmapped ``dynamic_slice`` (XLA: gather with
+    slice_sizes (1, s, s) — whole rows DMA'd), instead of s*s scalar
+    gathers.  Out-of-octave padding pixels are garbage by contract; every
+    consumer already masks to [1, h_o-2] x [1, w_o-2].
+    """
+
+    values: jnp.ndarray   # [O*D, Hp, Wp]
+    height: jnp.ndarray   # [O] valid height per octave
+    width: jnp.ndarray    # [O]
+    layers: int           # D (static)
+
+    def octave_geometry(self, octave: jnp.ndarray):
+        """Per-keypoint (h, w) for octave indices [K]."""
+        return jnp.take(self.height, octave), jnp.take(self.width, octave)
+
+
+def pad_pyramid(blocks: List[jnp.ndarray]) -> PaddedPyramid:
+    """blocks: per-octave [D, H_o, W_o], octave 0 largest."""
+    d, h0, w0 = blocks[0].shape
+    slabs = []
+    hs, ws = [], []
+    for b in blocks:
+        bd, h, w = b.shape
+        slabs.append(jnp.pad(b, ((0, 0), (0, h0 - h), (0, w0 - w))))
+        hs.append(h)
+        ws.append(w)
+    return PaddedPyramid(
+        values=jnp.concatenate(slabs, axis=0),
+        height=jnp.asarray(np.array(hs, np.int32)),
+        width=jnp.asarray(np.array(ws, np.int32)),
+        layers=d)
+
+
+def gather_windows(p: PaddedPyramid, octave, layer, cy, cx, size: int):
+    """Batched [K, size, size] windows around (cy, cx) of (octave, layer).
+
+    The window origin is clamped to the padded slab, NOT the patch center —
+    near edges the window shifts instead of clipping, and the returned
+    per-keypoint offsets (offy/offx [K, size], pixel minus center) carry
+    the true geometry so downstream masks/weights stay exact.
+    """
+    r = size // 2
+    hp, wp = p.values.shape[-2:]
+    if hp < size or wp < size:
+        # Image smaller than the window: zero-pad the slab (out-of-image
+        # pixels are masked by consumers via the octave geometry).
+        p = p._replace(values=jnp.pad(
+            p.values, ((0, 0), (0, max(0, size - hp)),
+                       (0, max(0, size - wp)))))
+        hp, wp = p.values.shape[-2:]
+    ys0 = jnp.clip(cy - r, 0, hp - size)
+    xs0 = jnp.clip(cx - r, 0, wp - size)
+    lidx = octave.astype(jnp.int32) * p.layers + layer.astype(jnp.int32)
+    lidx = jnp.clip(lidx, 0, p.values.shape[0] - 1)
+
+    def one(l, y, x):
+        return jax.lax.dynamic_slice(p.values, (l, y, x),
+                                     (1, size, size))[0]
+
+    win = jax.vmap(one)(lidx, ys0, xs0)
+    ar = jnp.arange(size, dtype=jnp.int32)
+    offy = ys0[:, None] + ar[None, :] - cy[:, None]
+    offx = xs0[:, None] + ar[None, :] - cx[:, None]
+    return win, offy, offx
+
+
+def dense_gradients_padded(p: PaddedPyramid):
+    """Dense gradient magnitude/orientation on the padded stack (ONE fused
+    elementwise pass; rim and padding pixels are garbage by contract)."""
+    b = p.values
+    dx = jnp.roll(b, -1, axis=-1) - jnp.roll(b, 1, axis=-1)
+    dy = jnp.roll(b, 1, axis=-2) - jnp.roll(b, -1, axis=-2)
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    ori = jnp.arctan2(dy, dx) * (180.0 / np.pi)
+    ori = jnp.where(ori < 0, ori + 360.0, ori)
+    return p._replace(values=mag), p._replace(values=ori)
 
 
 def dense_gradients(blocks: List[jnp.ndarray]):

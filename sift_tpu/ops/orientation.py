@@ -36,8 +36,8 @@ import jax.numpy as jnp
 
 from sift_tpu.config import (SIFT_ORI_HIST_BINS, SIFT_ORI_PEAK_RATIO,
                              SIFT_ORI_RADIUS, SIFT_ORI_SIG_FCTR, SiftConfig)
-from sift_tpu.ops.flatpyr import (FlatPyramid, dense_gradients,
-                                  gather_patches_flat)
+from sift_tpu.ops.flatpyr import (PaddedPyramid, dense_gradients_padded,
+                                  gather_windows, pad_pyramid)
 
 _NB = SIFT_ORI_HIST_BINS
 
@@ -50,13 +50,13 @@ def max_ori_radius(cfg: SiftConfig) -> int:
     return int(round(SIFT_ORI_RADIUS * scl_max))
 
 
-def orientation_histograms_flat(mag: FlatPyramid, ori: FlatPyramid,
+def orientation_histograms_flat(mag: PaddedPyramid, ori: PaddedPyramid,
                                 octave, x, y, layer, size, valid,
                                 cfg: SiftConfig,
                                 chunk: int = 1024) -> jnp.ndarray:
     """One global pass over keypoints of every octave.
 
-    mag/ori: flattened dense gradient pyramids; octave: [K] int32 per
+    mag/ori: padded dense gradient pyramids; octave: [K] int32 per
     keypoint; x/y/size in base-image space.  Returns raw histograms
     [K, 36]."""
     inv = jnp.exp2(-octave.astype(jnp.float32))
@@ -92,22 +92,21 @@ def orientation_histograms_flat(mag: FlatPyramid, ori: FlatPyramid,
 
 def _hist_chunk(mag, ori, octave, px, py, layer, sigma_ori, radius, valid,
                 s):
-    m_p, off = gather_patches_flat(mag, octave, layer, py, px, s)
-    o_p, _ = gather_patches_flat(ori, octave, layer, py, px, s)
-    offf = off.astype(jnp.float32)
+    m_p, offy, offx = gather_windows(mag, octave, layer, py, px, s)
+    o_p, _, _ = gather_windows(ori, octave, layer, py, px, s)
+    offyf = offy.astype(jnp.float32)                    # [K, S]
+    offxf = offx.astype(jnp.float32)
 
-    _, h, w = mag.octave_geometry(octave)
-    pyy = py[:, None] + off[None, :]                    # [K, S]
-    pxx = px[:, None] + off[None, :]
+    h, w = mag.octave_geometry(octave)
+    pyy = py[:, None] + offy
+    pxx = px[:, None] + offx
     in_y = (pyy >= 1) & (pyy <= (h - 2)[:, None])
     in_x = (pxx >= 1) & (pxx <= (w - 2)[:, None])
     rad = radius[:, None]
-    win_y = jnp.abs(offf)[None, :] <= rad
-    win_x = win_y
     # Separable Gaussian weights: exp(-(i^2 + j^2) es) = wy_i * wx_j.
     es = (-0.5 / jnp.maximum(sigma_ori * sigma_ori, 1e-12))[:, None]
-    wy = jnp.exp(offf[None, :] ** 2 * es) * (in_y & win_y)
-    wx = jnp.exp(offf[None, :] ** 2 * es) * (in_x & win_x)
+    wy = jnp.exp(offyf ** 2 * es) * (in_y & (jnp.abs(offyf) <= rad))
+    wx = jnp.exp(offxf ** 2 * es) * (in_x & (jnp.abs(offxf) <= rad))
     wgt = wy[:, :, None] * wx[:, None, :] * valid[:, None, None]
 
     contrib = wgt * m_p                                 # [K, S, S]
@@ -130,12 +129,9 @@ def orientation_histograms(block: jnp.ndarray, x, y, layer, size, valid,
                            octave: int, cfg: SiftConfig) -> jnp.ndarray:
     """Single-octave wrapper (golden-replay API parity): block [D, H, W]
     source stack; octave is this block's pyramid octave index."""
-    from sift_tpu.ops.flatpyr import flatten_pyramid
-
-    mags, oris = dense_gradients([block])
-    mag = flatten_pyramid(mags)
-    ori = flatten_pyramid(oris)
-    # base-image -> this octave's scale uses 2^octave, but the flat
+    padded = pad_pyramid([block])
+    mag, ori = dense_gradients_padded(padded)
+    # base-image -> this octave's scale uses 2^octave, but the padded
     # pyramid has a single block at index 0; pre-scale coordinates.
     oct_arr = jnp.zeros(x.shape, jnp.int32)
     inv = 1.0 / float(1 << octave)

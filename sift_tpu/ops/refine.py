@@ -42,18 +42,18 @@ class RefinedKeypoints(NamedTuple):
     valid: jnp.ndarray
 
 
-def _gather27(dog_flat, h, w, l, r, c):
+def _gather27(dog, l, r, c):
     """[K, 3, 3, 3] neighborhood values at (l+dl, r+dr, c+dc), dl/dr/dc in
-    {-1,0,1}.  Indices are clamped for safety; liveness masks guarantee live
-    candidates are in range."""
-    dl = jnp.arange(-1, 2)
-    base = (jnp.clip(l[:, None] + dl[None, :], 0, dog_flat.shape[0] // (h * w) - 1) * (h * w))
-    ys = jnp.clip(r[:, None] + dl[None, :], 0, h - 1) * w
-    xs = jnp.clip(c[:, None] + dl[None, :], 0, w - 1)
-    idx = (base[:, :, None, None] + ys[:, None, :, None]
-           + xs[:, None, None, :])
-    return jnp.take(dog_flat, idx.reshape(idx.shape[0], -1),
-                    axis=0).reshape(-1, 3, 3, 3)
+    {-1,0,1}, as ONE vmapped dynamic_slice per candidate (blocked gather).
+    dynamic_slice clamps the origin into bounds; liveness masks guarantee
+    live candidates are interior, so clamping only affects dead slots."""
+    import jax
+
+    def one(li, ri, ci):
+        return jax.lax.dynamic_slice(dog, (li - 1, ri - 1, ci - 1),
+                                     (3, 3, 3))
+
+    return jax.vmap(one)(l, r, c)
 
 
 def _derivatives(v):
@@ -107,8 +107,12 @@ def refine_keypoints(dog: jnp.ndarray, cx, cy, clayer, cvalid,
     """dog: [D, H, W] octave DoG block; candidates (cx, cy, clayer, cvalid)
     from ops/peaks.py.  ``octave`` is the pyramid octave index."""
     d, h, w = dog.shape
-    flat = dog.reshape(-1)
     border = SIFT_IMG_BORDER
+    if d < 3 or h < 3 or w < 3:
+        # Tiny octaves can't fit a 3x3x3 slice; zero-pad (any candidate
+        # here is already invalid — border=5 excludes images < 11 px).
+        dog = jnp.pad(dog, ((0, max(0, 3 - d)), (0, max(0, 3 - h)),
+                            (0, max(0, 3 - w))))
 
     c = cx.astype(jnp.int32)
     r = cy.astype(jnp.int32)
@@ -123,7 +127,7 @@ def refine_keypoints(dog: jnp.ndarray, cx, cy, clayer, cvalid,
     # per-candidate once converged/dead (SiftOps.cu:106-168).
     for _ in range(int(SIFT_MAX_INTERP_STEPS)):
         active = alive & ~converged
-        v = _gather27(flat, h, w, l, r, c)
+        v = _gather27(dog, l, r, c)
         b, A = _derivatives(v)
         x, solve_ok = _solve3(A, b)
         nx0, nx1, nx2 = x[:, 0], x[:, 1], x[:, 2]
@@ -154,7 +158,7 @@ def refine_keypoints(dog: jnp.ndarray, cx, cy, clayer, cvalid,
     # Contrast test at the converged position (SiftOps.cu:170-185):
     # contrast = v * img_scale - (dD . x) * 0.5  (x = A^-1 b, so this equals
     # OpenCV's v*img_scale + 0.5*dD.X with X = -x).
-    v = _gather27(flat, h, w, l, r, c)
+    v = _gather27(dog, l, r, c)
     dD, A = _derivatives(v)
     t = dD[:, 0] * x0 + dD[:, 1] * x1 + dD[:, 2] * x2
     contrast = v[:, 1, 1, 1] * _IMG_SCALE - t * 0.5

@@ -37,7 +37,7 @@ from sift_tpu.core.types import Keypoints, SiftPlan, SiftResult, build_plan
 from sift_tpu.ops import compact as C
 from sift_tpu.ops import descriptor as D
 from sift_tpu.ops import orientation as O
-from sift_tpu.ops.flatpyr import dense_gradients, flatten_pyramid
+from sift_tpu.ops.flatpyr import dense_gradients_padded, pad_pyramid
 from sift_tpu.ops.peaks import find_candidates
 from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
 from sift_tpu.ops.refine import refine_keypoints
@@ -84,16 +84,13 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
         kresp = jnp.take(rresp, idx)
         koct = jnp.take(roct, idx)
 
-        # Dense gradients once per frame; flattened for global gathers.
-        g_mags, g_oris = dense_gradients(gauss)
-        magf = flatten_pyramid(g_mags)
-        orif = flatten_pyramid(g_oris)
+        # Dense gradients once per frame on the padded uniform stack
+        # (window gathers need uniform octave shapes).
+        magf, orif = dense_gradients_padded(pad_pyramid(gauss))
         if cfg.orientation_source == "gaussian":
             o_magf, o_orif = magf, orif
         else:
-            d_mags, d_oris = dense_gradients(dogs)
-            o_magf = flatten_pyramid(d_mags)
-            o_orif = flatten_pyramid(d_oris)
+            o_magf, o_orif = dense_gradients_padded(pad_pyramid(dogs))
 
         hist = O.orientation_histograms_flat(
             o_magf, o_orif, koct, kx, ky, klyr, ksize, val, cfg)
