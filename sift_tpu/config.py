@@ -77,6 +77,9 @@ class SiftConfig:
     # Lowe ratio applied to *squared* distances, matching the reference's
     # in-kernel hardcoded test (sift_func/Match.cu:171-175).
     match_ratio: float = 0.8
+    # Keypoint-window extraction: "pallas" (aligned DMA kernel, TPU only),
+    # "xla" (vmapped dynamic_slice), or "auto" (pallas iff on TPU).
+    gather_impl: str = "auto"
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
@@ -87,6 +90,8 @@ class SiftConfig:
             raise ValueError("blur_impl must be 'matmul' or 'conv'")
         if self.downsample not in ("nearest", "bilinear"):
             raise ValueError("downsample must be 'nearest' or 'bilinear'")
+        if self.gather_impl not in ("auto", "pallas", "xla"):
+            raise ValueError("gather_impl must be 'auto', 'pallas' or 'xla'")
 
     @property
     def num_octaves(self) -> int:

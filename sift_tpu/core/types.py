@@ -154,7 +154,10 @@ def _candidate_capacity(cfg: SiftConfig, h: int, w: int, layers: int) -> int:
     if cfg.max_candidates_per_octave is not None:
         cap = cfg.max_candidates_per_octave
     else:
-        cap = max(128, min(h * w * layers // 48, 2 * cfg.num_features))
+        # Calibrated against measured worst cases: heavy fractal texture at
+        # 752x480 yields 948 octave-0 extrema; //384 gives ~3x headroom
+        # (2820) while keeping the refinement stage's static work bounded.
+        cap = max(512, min(h * w * layers // 384, 2 * cfg.num_features))
     return int(min(cap, h * w * layers))
 
 

@@ -39,7 +39,7 @@ from sift_tpu.config import (SIFT_DESCR_HIST_BINS, SIFT_DESCR_SCL_FCTR,
                              SIFT_DESCR_WIDTH, SIFT_INT_DESCR_FCTR,
                              SiftConfig)
 from sift_tpu.ops.flatpyr import (PaddedPyramid, dense_gradients_padded,
-                                  gather_windows, pad_pyramid)
+                                  keypoint_window_pair, pad_pyramid)
 
 _D = SIFT_DESCR_WIDTH        # 4 spatial cells per side
 _NB = SIFT_DESCR_HIST_BINS   # 8 orientation bins
@@ -76,7 +76,7 @@ def compute_descriptors_flat(mag: PaddedPyramid, ori: PaddedPyramid,
     ang = 360.0 - angle
     ang = jnp.where(jnp.abs(ang - 360.0) < 1e-6, 0.0, ang)
 
-    s = 2 * max_descr_radius(cfg) + 1
+    rmax = max_descr_radius(cfg)
     k = x.shape[0]
     nchunk = max(1, -(-k // chunk))
     pad = nchunk * chunk - k
@@ -89,7 +89,7 @@ def compute_descriptors_flat(mag: PaddedPyramid, ori: PaddedPyramid,
                  (octave, px, py, layer, scl, ang, valid))
 
     def body(ch):
-        return _descriptor_hist(mag, ori, *ch, s)
+        return _descriptor_hist(mag, ori, *ch, rmax, cfg.gather_impl)
 
     if nchunk == 1:
         hist = body(tuple(a[0] for a in args))[None]
@@ -99,7 +99,8 @@ def compute_descriptors_flat(mag: PaddedPyramid, ori: PaddedPyramid,
     return finalize_descriptor(hist)
 
 
-def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid, s):
+def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid,
+                     rmax, impl):
     """[Kc, D, D, NB] histogram via hat-function reductions on the MXU."""
     hist_width = SIFT_DESCR_SCL_FCTR * scl
     arad = ang * (math.pi / 180.0)
@@ -112,10 +113,10 @@ def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid, s):
     radius = jnp.minimum(
         jnp.round(hist_width * math.sqrt(2.0) * (_D + 1) * 0.5), diag)
 
-    m_p, offy, offx = gather_windows(mag, octave, layer, py, px, s)
-    o_p, _, _ = gather_windows(ori, octave, layer, py, px, s)
-    offyf = offy.astype(jnp.float32)                     # [Kc, S]
-    offxf = offx.astype(jnp.float32)
+    m_p, o_p, offy, offx = keypoint_window_pair(
+        mag, ori, octave, layer, py, px, rmax, impl)
+    offyf = offy.astype(jnp.float32)                     # [Kc, rows]
+    offxf = offx.astype(jnp.float32)                     # [Kc, 256]
     ii = offyf[:, :, None]                               # rows
     jj = offxf[:, None, :]                               # cols
 
@@ -145,7 +146,7 @@ def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid, s):
 
     # Separable hat tensors; contraction over pixels runs on the MXU.
     kc = px.shape[0]
-    p = s * s
+    p = m_p.shape[1] * m_p.shape[2]
     cells = jnp.arange(1, _D + 1, dtype=jnp.float32)
     hr = _hat(rbin.reshape(kc, p)[:, :, None] + 1.0 - cells)   # [Kc, P, 4]
     hc = _hat(cbin.reshape(kc, p)[:, :, None] + 1.0 - cells)   # [Kc, P, 4]

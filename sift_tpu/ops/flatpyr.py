@@ -98,13 +98,18 @@ class PaddedPyramid(NamedTuple):
 
 
 def pad_pyramid(blocks: List[jnp.ndarray]) -> PaddedPyramid:
-    """blocks: per-octave [D, H_o, W_o], octave 0 largest."""
+    """blocks: per-octave [D, H_o, W_o], octave 0 largest.  Slab dims are
+    rounded up to the TPU memory tiling (8 sublanes x 128 lanes) so that
+    tile-aligned DMA window origins (kernels/window_gather.py) can always
+    be clamped without losing edge coverage."""
     d, h0, w0 = blocks[0].shape
+    hp = -(-max(h0, 8) // 8) * 8
+    wp = -(-max(w0, 128) // 128) * 128
     slabs = []
     hs, ws = [], []
     for b in blocks:
         bd, h, w = b.shape
-        slabs.append(jnp.pad(b, ((0, 0), (0, h0 - h), (0, w0 - w))))
+        slabs.append(jnp.pad(b, ((0, 0), (0, hp - h), (0, wp - w))))
         hs.append(h)
         ws.append(w)
     return PaddedPyramid(
@@ -145,6 +150,59 @@ def gather_windows(p: PaddedPyramid, octave, layer, cy, cx, size: int):
     offy = ys0[:, None] + ar[None, :] - cy[:, None]
     offx = xs0[:, None] + ar[None, :] - cx[:, None]
     return win, offy, offx
+
+
+def resolve_gather_impl(impl: str) -> str:
+    """"auto" -> "pallas" on TPU backends, "xla" elsewhere."""
+    if impl != "auto":
+        return impl
+    import jax
+
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def _xla_windows(values, lidx, ys0, xs0, rows, lanes):
+    import jax
+
+    def one(l, y, x):
+        return jax.lax.dynamic_slice(values, (l, y, x), (1, rows, lanes))[0]
+
+    return jax.vmap(one)(lidx, ys0, xs0)
+
+
+def keypoint_window_pair(mag: PaddedPyramid, ori: PaddedPyramid,
+                         octave, layer, cy, cx, radius: int, impl: str):
+    """Gather per-keypoint (mag, ori) windows with shared aligned origins.
+
+    Returns (wm, wo, offy, offx): windows [K, rows, 256] and the true
+    per-pixel offsets from the keypoint center, offy [K, rows] /
+    offx [K, 256] — the window is origin-shifted near edges, never
+    clipped, so offsets are exact and consumer masks stay correct.
+    """
+    from sift_tpu.kernels.window_gather import (LANES, gather_windows_pallas,
+                                                window_origins, window_rows)
+
+    rows = window_rows(radius)
+    lrel = octave.astype(jnp.int32) * mag.layers + layer.astype(jnp.int32)
+    li, ys0, xs0 = window_origins(mag.values.shape, lrel, cy, cx, rows,
+                                  radius)
+    if resolve_gather_impl(impl) == "pallas":
+        wm = gather_windows_pallas(mag.values, li, ys0, xs0, rows)
+        wo = gather_windows_pallas(ori.values, li, ys0, xs0, rows)
+    else:
+        vm, vo = mag.values, ori.values
+        hp, wp = vm.shape[-2:]
+        ph, pw = max(0, rows - hp), max(0, LANES - wp)
+        if ph or pw:
+            vm = jnp.pad(vm, ((0, 0), (0, ph), (0, pw)))
+            vo = jnp.pad(vo, ((0, 0), (0, ph), (0, pw)))
+        wm = _xla_windows(vm, li, ys0, xs0, rows, LANES)
+        wo = _xla_windows(vo, li, ys0, xs0, rows, LANES)
+    ry = jnp.arange(rows, dtype=jnp.int32)
+    rx = jnp.arange(LANES, dtype=jnp.int32)
+    offy = ys0[:, None] + ry[None, :] - cy[:, None]
+    offx = xs0[:, None] + rx[None, :] - cx[:, None]
+    return wm, wo, offy, offx
 
 
 def dense_gradients_padded(p: PaddedPyramid):

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 from sift_tpu.config import (SIFT_ORI_HIST_BINS, SIFT_ORI_PEAK_RATIO,
                              SIFT_ORI_RADIUS, SIFT_ORI_SIG_FCTR, SiftConfig)
 from sift_tpu.ops.flatpyr import (PaddedPyramid, dense_gradients_padded,
-                                  gather_windows, pad_pyramid)
+                                  keypoint_window_pair, pad_pyramid)
 
 _NB = SIFT_ORI_HIST_BINS
 
@@ -66,7 +66,7 @@ def orientation_histograms_flat(mag: PaddedPyramid, ori: PaddedPyramid,
     sigma_ori = SIFT_ORI_SIG_FCTR * scl_octv
     radius = jnp.round(SIFT_ORI_RADIUS * scl_octv)
 
-    s = 2 * max_ori_radius(cfg) + 1
+    rmax = max_ori_radius(cfg)
     k = x.shape[0]
     nchunk = max(1, -(-k // chunk))
     pad = nchunk * chunk - k
@@ -81,7 +81,7 @@ def orientation_histograms_flat(mag: PaddedPyramid, ori: PaddedPyramid,
     def body(ch):
         coct, cpx, cpy, clyr, csig, crad, cval = ch
         return _hist_chunk(mag, ori, coct, cpx, cpy, clyr, csig, crad,
-                           cval, s)
+                           cval, rmax, cfg.gather_impl)
 
     if nchunk == 1:
         hist = body(tuple(a[0] for a in args))[None]
@@ -91,11 +91,11 @@ def orientation_histograms_flat(mag: PaddedPyramid, ori: PaddedPyramid,
 
 
 def _hist_chunk(mag, ori, octave, px, py, layer, sigma_ori, radius, valid,
-                s):
-    m_p, offy, offx = gather_windows(mag, octave, layer, py, px, s)
-    o_p, _, _ = gather_windows(ori, octave, layer, py, px, s)
-    offyf = offy.astype(jnp.float32)                    # [K, S]
-    offxf = offx.astype(jnp.float32)
+                rmax, impl):
+    m_p, o_p, offy, offx = keypoint_window_pair(
+        mag, ori, octave, layer, py, px, rmax, impl)
+    offyf = offy.astype(jnp.float32)                    # [K, rows]
+    offxf = offx.astype(jnp.float32)                    # [K, 256]
 
     h, w = mag.octave_geometry(octave)
     pyy = py[:, None] + offy
@@ -116,7 +116,7 @@ def _hist_chunk(mag, ori, octave, px, py, layer, sigma_ori, radius, valid,
 
     # Chunked one-hot contraction (MXU) instead of atomic scatter.
     kc = px.shape[0]
-    p = s * s
+    p = m_p.shape[1] * m_p.shape[2]
     onehot = (b.reshape(kc, p)[:, :, None]
               == jnp.arange(_NB, dtype=jnp.int32)).astype(jnp.float32)
     return jax.lax.dot_general(

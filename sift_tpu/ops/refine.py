@@ -44,16 +44,20 @@ class RefinedKeypoints(NamedTuple):
 
 def _gather27(dog, l, r, c):
     """[K, 3, 3, 3] neighborhood values at (l+dl, r+dr, c+dc), dl/dr/dc in
-    {-1,0,1}, as ONE vmapped dynamic_slice per candidate (blocked gather).
-    dynamic_slice clamps the origin into bounds; liveness masks guarantee
-    live candidates are interior, so clamping only affects dead slots."""
-    import jax
-
-    def one(li, ri, ci):
-        return jax.lax.dynamic_slice(dog, (li - 1, ri - 1, ci - 1),
-                                     (3, 3, 3))
-
-    return jax.vmap(one)(l, r, c)
+    {-1,0,1}.  Element-wise gather: with 27 points per candidate a blocked
+    dynamic_slice is slower on TPU (tiny unaligned slices pad each DMA);
+    indices are clamped for safety — liveness masks guarantee live
+    candidates are interior."""
+    d, h, w = dog.shape
+    flat = dog.reshape(-1)
+    dl = jnp.arange(-1, 2)
+    base = jnp.clip(l[:, None] + dl[None, :], 0, d - 1) * (h * w)
+    ys = jnp.clip(r[:, None] + dl[None, :], 0, h - 1) * w
+    xs = jnp.clip(c[:, None] + dl[None, :], 0, w - 1)
+    idx = (base[:, :, None, None] + ys[:, None, :, None]
+           + xs[:, None, None, :])
+    return jnp.take(flat, idx.reshape(idx.shape[0], -1),
+                    axis=0).reshape(-1, 3, 3, 3)
 
 
 def _derivatives(v):

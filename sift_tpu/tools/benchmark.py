@@ -1,0 +1,85 @@
+"""CLI: the BASELINE.md benchmark table on the current backend.
+
+Reproduces the reference's published workload set (readme.md:9-16 —
+detect+compute at 752x480 / 1600x900 / 1920x1200, brute-force match of
+2000x2000 descriptors) with the transport-robust chained-iteration timer
+(perf/timing.py).  Prints one JSON line per metric.
+
+Usage: python -m sift_tpu.tools.benchmark [--quick] [--sizes WxH ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+BASELINES_MS = {
+    "detect_compute_752x480": 0.95,
+    "detect_compute_1600x900": 2.5,
+    "detect_compute_1920x1200": 3.1,
+    "match_2000x2000": 1.0,
+}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--quick", action="store_true",
+                   help="752x480 + match only")
+    p.add_argument("--sizes", nargs="*", default=None,
+                   help="override detect sizes, e.g. 752x480 1920x1200")
+    p.add_argument("--num-features", type=int, default=5000)
+    args = p.parse_args(argv)
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sift_tpu.config import SiftConfig
+    from sift_tpu.core.types import build_plan
+    from sift_tpu.perf.timing import measure_ms
+    from sift_tpu.pipeline.detector import build_detect_fn
+    from sift_tpu.pipeline.matcher import match_brute_force
+
+    rng = np.random.default_rng(0)
+    sizes = args.sizes or (["752x480"] if args.quick
+                           else ["752x480", "1600x900", "1920x1200"])
+
+    for spec in sizes:
+        w, h = (int(v) for v in spec.split("x"))
+        cfg = SiftConfig(width=w, height=h,
+                         num_features=args.num_features)
+        detect = build_detect_fn(build_plan(cfg))
+
+        def step(img):
+            res = detect(img)
+            return img, (jnp.sum(res.descriptors)
+                         + jnp.sum(res.keypoints.x))
+
+        img = jax.device_put(jnp.asarray(
+            np.clip(rng.normal(128, 40, (h, w)), 0, 255), jnp.float32))
+        ms = measure_ms(step, img)
+        name = f"detect_compute_{w}x{h}"
+        base = BASELINES_MS.get(name)
+        print(json.dumps({
+            "metric": name, "value": round(ms, 4), "unit": "ms",
+            "vs_baseline": round(ms / base, 4) if base else None}))
+
+    # Brute-force matching (readme.md:11: 2000x2000 in < 1 ms).
+    q = jax.device_put(jnp.asarray(rng.uniform(0, 255, (2000, 128)),
+                                   jnp.float32))
+    t = jax.device_put(jnp.asarray(rng.uniform(0, 255, (2000, 128)),
+                                   jnp.float32))
+
+    def match_step(qq):
+        m = match_brute_force(qq, t)
+        return qq, jnp.sum(m).astype(jnp.float32)
+
+    ms = measure_ms(match_step, q, k_small=8, k_large=48)
+    print(json.dumps({
+        "metric": "match_2000x2000", "value": round(ms, 4), "unit": "ms",
+        "vs_baseline": round(ms / BASELINES_MS["match_2000x2000"], 4)}))
+
+
+if __name__ == "__main__":
+    main()
