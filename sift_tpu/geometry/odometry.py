@@ -1,0 +1,325 @@
+"""Monocular visual odometry: landmark tracking with PnP pose estimation.
+
+New capability (BASELINE configs #4/#5: pose estimation on sequences,
+ATE-gated).  Architecture (standard feature-based VO, built on the TPU
+pipeline):
+
+* bootstrap: first pair -> vectorized essential-matrix RANSAC with
+  manifold-GN polish (twoview.py), unit-scale triangulation seeds the map;
+* tracking: every later frame matches to the previous frame; matches whose
+  previous keypoint carries a landmark give 3D-2D pairs -> robust
+  Gauss-Newton PnP from the previous pose (pnp.py).  Pose AND metric scale
+  come from the map — no fragile per-pair scale chaining;
+* mapping: matches without landmarks are triangulated with the PnP pose
+  (depth/reprojection gated) and added to the map;
+* optional sliding-window BA over recent frames (geometry/ba.py).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sift_tpu.config import SiftConfig
+from sift_tpu.geometry import se3
+from sift_tpu.geometry.ba import BAProblem, lm_optimize
+from sift_tpu.geometry.pnp import pnp_gn
+from sift_tpu.geometry.twoview import (pixels_to_normalized,
+                                       ransac_essential, triangulate)
+from sift_tpu.pipeline.detector import SiftDetector
+from sift_tpu.pipeline.matcher import match_pairs
+
+
+class OdometryResult:
+    def __init__(self):
+        self.rotations: List[np.ndarray] = []     # world->camera
+        self.translations: List[np.ndarray] = []
+        self.n_matches: List[int] = []
+        self.n_inliers: List[int] = []            # PnP/essential inliers
+
+    def poses_cam_to_world(self) -> List[np.ndarray]:
+        out = []
+        for r, t in zip(self.rotations, self.translations):
+            m = np.eye(4)
+            m[:3, :3] = r.T
+            m[:3, 3] = -r.T @ t
+            out.append(m)
+        return out
+
+    def positions(self) -> np.ndarray:
+        return np.stack([-r.T @ t for r, t in
+                         zip(self.rotations, self.translations)])
+
+
+class MonocularOdometry:
+    def __init__(self, config: SiftConfig, fx: float, fy: float,
+                 cx: float, cy: float, ratio: float = 0.8,
+                 ransac_iters: int = 512,
+                 ransac_threshold: Optional[float] = None,
+                 min_pnp_points: int = 12, pnp_threshold_px: float = 3.0,
+                 max_depth: float = 1e3, min_depth: float = 1e-2,
+                 triangulation_err_px: float = 2.0,
+                 ba_interval: int = 0, ba_window: int = 5, seed: int = 0):
+        self.detector = SiftDetector(config)
+        self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
+        self.ratio = ratio
+        self.ransac_iters = ransac_iters
+        # Squared Sampson threshold in normalized coords: ~0.75 px.
+        self.ransac_threshold = ransac_threshold if ransac_threshold \
+            is not None else (0.75 / fx) ** 2
+        self.min_pnp_points = min_pnp_points
+        self.pnp_threshold_px = pnp_threshold_px
+        self.max_depth = max_depth
+        self.min_depth = min_depth
+        self.triangulation_err_px = triangulation_err_px
+        self.ba_interval = ba_interval
+        self.ba_window = ba_window
+        self._key = jax.random.key(seed)
+        self.result = OdometryResult()
+        self._prev = None                 # previous frame's SiftResult
+        # landmark map: previous-frame keypoint index -> landmark id
+        self._prev_lms: Dict[int, int] = {}
+        self._points: List[np.ndarray] = []   # landmark world positions
+        self._obs = []                    # (frame, landmark, uv) for BA
+
+    def _split_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # ------------------------------------------------------------------
+
+    def process(self, frame: np.ndarray) -> np.ndarray:
+        """Returns the 4x4 cam-to-world pose of this frame."""
+        res = self.detector.detect_and_compute(frame)
+        out = self.result
+        if self._prev is None:
+            out.rotations.append(np.eye(3, dtype=np.float32))
+            out.translations.append(np.zeros(3, np.float32))
+            out.n_matches.append(0)
+            out.n_inliers.append(0)
+            self._prev = res
+            return self._pose_mat(-1)
+
+        a, b = self._prev, res
+        qi, ti = match_pairs(b.descriptors, a.descriptors,
+                             b.keypoints.valid, a.keypoints.valid,
+                             ratio=self.ratio)
+        pa = np.stack([np.asarray(a.keypoints.x)[ti],
+                       np.asarray(a.keypoints.y)[ti]], -1) \
+            if len(qi) else np.zeros((0, 2), np.float32)
+        pb = np.stack([np.asarray(b.keypoints.x)[qi],
+                       np.asarray(b.keypoints.y)[qi]], -1) \
+            if len(qi) else np.zeros((0, 2), np.float32)
+
+        # 3D-2D pairs through existing landmarks.
+        lm_rows = [k for k in range(len(qi))
+                   if int(ti[k]) in self._prev_lms]
+        fidx = len(out.rotations)
+
+        if len(lm_rows) >= self.min_pnp_points:
+            ok = self._track_pnp(qi, ti, pb, lm_rows, fidx)
+        else:
+            ok = False
+        if not ok:
+            ok = self._bootstrap(qi, ti, pa, pb, fidx)
+        if not ok:
+            self._append_fallback()
+            out.n_matches.append(len(qi))
+            out.n_inliers.append(0)
+            self._prev_lms = {}
+        else:
+            out.n_matches.append(len(qi))
+        self._prev = res
+
+        if self.ba_interval and ok and fidx % self.ba_interval == 0 \
+                and fidx >= 2:
+            self._run_window_ba(fidx)
+        return self._pose_mat(-1)
+
+    # ------------------------------------------------------------------
+
+    def _track_pnp(self, qi, ti, pb, lm_rows, fidx) -> bool:
+        out = self.result
+        pts_w = np.stack([self._points[self._prev_lms[int(ti[k])]]
+                          for k in lm_rows])
+        uv = pb[lm_rows]
+        r, t, inl, err = pnp_gn(
+            jnp.asarray(pts_w, jnp.float32), jnp.asarray(uv, jnp.float32),
+            jnp.ones(len(lm_rows), bool),
+            self.fx, self.fy, self.cx, self.cy,
+            jnp.asarray(out.rotations[-1]),
+            jnp.asarray(out.translations[-1]),
+            threshold_px=self.pnp_threshold_px)
+        n_inl = int(inl.sum())
+        if n_inl < self.min_pnp_points:
+            return False
+        r_w = np.asarray(r, np.float32)
+        t_w = np.asarray(t, np.float32)
+        out.rotations.append(r_w)
+        out.translations.append(t_w)
+        out.n_inliers.append(n_inl)
+
+        # carry landmark associations + PnP observations
+        new_lms: Dict[int, int] = {}
+        inl_np = np.asarray(inl)
+        for j, k in enumerate(lm_rows):
+            if inl_np[j]:
+                lm = self._prev_lms[int(ti[k])]
+                new_lms[int(qi[k])] = lm
+                self._obs.append((fidx, lm, uv[j]))
+        self._triangulate_new(qi, ti, pb, fidx, new_lms, set(lm_rows))
+        self._prev_lms = new_lms
+        return True
+
+    def _bootstrap(self, qi, ti, pa, pb, fidx) -> bool:
+        """Two-view initialization (first pair, or re-init after a track
+        loss): essential RANSAC + unit-scale triangulation."""
+        out = self.result
+        if len(qi) < 16:
+            return False
+        na = pixels_to_normalized(jnp.asarray(pa, jnp.float32),
+                                  self.fx, self.fy, self.cx, self.cy)
+        nb = pixels_to_normalized(jnp.asarray(pb, jnp.float32),
+                                  self.fx, self.fy, self.cx, self.cy)
+        tv = ransac_essential(na, nb, jnp.ones(len(qi), bool),
+                              self._split_key(),
+                              n_hypotheses=self.ransac_iters,
+                              threshold=self.ransac_threshold)
+        n_inl = int(tv.num_inliers)
+        if n_inl < self.min_pnp_points:
+            return False
+        prev_r = out.rotations[-1]
+        prev_t = out.translations[-1]
+        r_rel = np.asarray(tv.rotation)
+        t_rel = np.asarray(tv.translation)
+        r_w = (r_rel @ prev_r).astype(np.float32)
+        t_w = (r_rel @ prev_t + t_rel).astype(np.float32)
+        out.rotations.append(r_w)
+        out.translations.append(t_w)
+        out.n_inliers.append(n_inl)
+
+        # triangulated points are in the previous camera's frame
+        pts_c = np.asarray(tv.points3d)
+        pc2 = pts_c @ r_rel.T + t_rel
+        inl = np.asarray(tv.inliers) & (pts_c[:, 2] > self.min_depth) \
+            & (pts_c[:, 2] < self.max_depth) & (pc2[:, 2] > self.min_depth)
+        ra_inv, ta_inv = se3.inverse(jnp.asarray(prev_r),
+                                     jnp.asarray(prev_t))
+        pts_w = np.asarray(se3.transform(ra_inv, ta_inv,
+                                         jnp.asarray(pts_c, jnp.float32)))
+        new_lms: Dict[int, int] = {}
+        for k in np.nonzero(inl)[0]:
+            lm = len(self._points)
+            self._points.append(pts_w[k].astype(np.float32))
+            self._obs.append((fidx - 1, lm, pa[k]))
+            self._obs.append((fidx, lm, pb[k]))
+            new_lms[int(qi[k])] = lm
+        self._prev_lms = new_lms
+        return True
+
+    def _triangulate_new(self, qi, ti, pb, fidx, new_lms, used_rows):
+        """Triangulate landmark-less matches with the last two poses."""
+        out = self.result
+        rows = [k for k in range(len(qi)) if k not in used_rows]
+        if not rows:
+            return
+        a = self._prev
+        pa = np.stack([np.asarray(a.keypoints.x)[ti[rows]],
+                       np.asarray(a.keypoints.y)[ti[rows]]], -1)
+        pbn = pb[rows]
+        r_a = out.rotations[-2]
+        t_a = out.translations[-2]
+        r_b = out.rotations[-1]
+        t_b = out.translations[-1]
+        r_rel = r_b @ r_a.T
+        t_rel = t_b - r_rel @ t_a
+        na = pixels_to_normalized(jnp.asarray(pa, jnp.float32),
+                                  self.fx, self.fy, self.cx, self.cy)
+        nb = pixels_to_normalized(jnp.asarray(pbn, jnp.float32),
+                                  self.fx, self.fy, self.cx, self.cy)
+        pts_c = np.asarray(triangulate(
+            jnp.asarray(r_rel, jnp.float32), jnp.asarray(t_rel, jnp.float32),
+            na, nb))
+        z1 = pts_c[:, 2]
+        pc2 = pts_c @ r_rel.T + t_rel
+        e1 = np.linalg.norm(pts_c[:, :2] / np.maximum(z1[:, None], 1e-9)
+                            - np.asarray(na), axis=-1) * self.fx
+        e2 = np.linalg.norm(pc2[:, :2] / np.maximum(pc2[:, 2:], 1e-9)
+                            - np.asarray(nb), axis=-1) * self.fx
+        good = ((z1 > self.min_depth) & (z1 < self.max_depth)
+                & (pc2[:, 2] > self.min_depth)
+                & (e1 < self.triangulation_err_px)
+                & (e2 < self.triangulation_err_px))
+        ra_inv, ta_inv = se3.inverse(jnp.asarray(r_a), jnp.asarray(t_a))
+        pts_w = np.asarray(se3.transform(ra_inv, ta_inv,
+                                         jnp.asarray(pts_c, jnp.float32)))
+        for j in np.nonzero(good)[0]:
+            k = rows[j]
+            lm = len(self._points)
+            self._points.append(pts_w[j].astype(np.float32))
+            self._obs.append((fidx - 1, lm, pa[j]))
+            self._obs.append((fidx, lm, pbn[j]))
+            new_lms[int(qi[k])] = lm
+
+    def _append_fallback(self):
+        """Constant-velocity fallback when tracking fails."""
+        out = self.result
+        if len(out.rotations) >= 2:
+            r_prev2 = out.rotations[-2]
+            t_prev2 = out.translations[-2]
+            r_rel = out.rotations[-1] @ r_prev2.T
+            t_rel = out.translations[-1] - r_rel @ t_prev2
+        else:
+            r_rel, t_rel = np.eye(3, dtype=np.float32), np.zeros(3)
+        out.rotations.append(
+            (r_rel @ out.rotations[-1]).astype(np.float32))
+        out.translations.append(
+            (r_rel @ out.translations[-1] + t_rel).astype(np.float32))
+
+    def _run_window_ba(self, fidx: int):
+        from collections import Counter
+
+        lo = max(0, fidx - self.ba_window + 1)
+        frames = list(range(lo, fidx + 1))
+        fmap = {f: i for i, f in enumerate(frames)}
+        obs = [(f, lm, uv) for (f, lm, uv) in self._obs if f in fmap]
+        cnt = Counter(lm for _, lm, _ in obs)
+        lms = sorted(lm for lm in cnt if cnt[lm] >= 2)
+        if len(lms) < 8 or len(obs) < 24:
+            return
+        lmap = {lm: i for i, lm in enumerate(lms)}
+        obs = [(f, lm, uv) for (f, lm, uv) in obs if lm in lmap]
+
+        out = self.result
+        prob = BAProblem(
+            rotations=jnp.asarray(np.stack(
+                [out.rotations[f] for f in frames])),
+            translations=jnp.asarray(np.stack(
+                [out.translations[f] for f in frames])),
+            points=jnp.asarray(np.stack(
+                [self._points[lm] for lm in lms]), jnp.float32),
+            cam_idx=jnp.asarray([fmap[f] for f, _, _ in obs], jnp.int32),
+            pt_idx=jnp.asarray([lmap[lm] for _, lm, _ in obs], jnp.int32),
+            uv=jnp.asarray(np.stack([uv for _, _, uv in obs]),
+                           jnp.float32),
+            valid=jnp.ones(len(obs), bool),
+            fx=jnp.float32(self.fx), fy=jnp.float32(self.fy),
+            cx=jnp.float32(self.cx), cy=jnp.float32(self.cy))
+        ba = lm_optimize(prob, iterations=6)
+        for f in frames:
+            i = fmap[f]
+            out.rotations[f] = np.asarray(ba.rotations[i])
+            out.translations[f] = np.asarray(ba.translations[i])
+        for lm in lms:
+            self._points[lm] = np.asarray(ba.points[lmap[lm]])
+
+    def _pose_mat(self, idx: int) -> np.ndarray:
+        r = self.result.rotations[idx]
+        t = self.result.translations[idx]
+        m = np.eye(4)
+        m[:3, :3] = r.T
+        m[:3, 3] = -r.T @ t
+        return m

@@ -71,46 +71,127 @@ def sampson_error(e: jnp.ndarray, p1: jnp.ndarray,
     return num / jnp.maximum(den, 1e-12)
 
 
+def _tangent_basis(t):
+    """Two unit vectors orthogonal to t (and each other)."""
+    helper = jnp.where(jnp.abs(t[0]) < 0.9,
+                       jnp.asarray([1.0, 0.0, 0.0], t.dtype),
+                       jnp.asarray([0.0, 1.0, 0.0], t.dtype))
+    b1 = jnp.cross(t, helper)
+    b1 = b1 / jnp.maximum(jnp.linalg.norm(b1), 1e-12)
+    b2 = jnp.cross(t, b1)
+    return b1, b2
+
+
+def _signed_sampson(e, p1, p2):
+    one = jnp.ones_like(p1[..., :1])
+    x1 = jnp.concatenate([p1, one], -1)
+    x2 = jnp.concatenate([p2, one], -1)
+    ex1 = x1 @ jnp.swapaxes(e, -1, -2)
+    etx2 = x2 @ e
+    num = jnp.sum(x2 * ex1, -1)
+    den = (ex1[..., 0] ** 2 + ex1[..., 1] ** 2
+           + etx2[..., 0] ** 2 + etx2[..., 1] ** 2)
+    return num / jnp.sqrt(jnp.maximum(den, 1e-12))
+
+
+def refine_essential_gn(r0, t0, p1, p2, valid, threshold,
+                        iters: int = 10, damping: float = 1e-8):
+    """Gauss-Newton polish ON the essential manifold: 5 DOF (left-rotation
+    increment + translation-sphere tangent), robust truncated Sampson loss.
+
+    Unlike least-squares-then-project refits (which optimize a general
+    3x3 matrix and can slide off into near-degenerate valleys before the
+    rank projection), every iterate here IS an essential matrix — the
+    polish cannot leave the manifold, which is what makes small-baseline /
+    quasi-degenerate flow fields recoverable.  Fully jittable, fixed
+    iteration count.
+    """
+    def step(carry, _):
+        r, t = carry
+        b1, b2 = _tangent_basis(t)
+
+        def res_of(params):
+            rr = se3.so3_exp(params[:3]) @ r
+            tt = t + b1 * params[3] + b2 * params[4]
+            tt = tt / jnp.maximum(jnp.linalg.norm(tt), 1e-12)
+            e = se3.hat(tt) @ rr
+            return _signed_sampson(e, p1, p2)
+
+        zero = jnp.zeros((5,), p1.dtype)
+        r_vec = res_of(zero)
+        jac = jax.jacfwd(res_of)(zero)                 # [N, 5]
+        w = ((r_vec * r_vec < threshold) & valid).astype(p1.dtype)
+        jw = jac * w[:, None]
+        h = jw.T @ jac + damping * jnp.eye(5, dtype=p1.dtype)
+        g = jw.T @ r_vec
+        d = -jnp.linalg.solve(h, g)
+        rr = se3.so3_exp(d[:3]) @ r
+        tt = t + b1 * d[3] + b2 * d[4]
+        tt = tt / jnp.maximum(jnp.linalg.norm(tt), 1e-12)
+        return (rr, tt), None
+
+    (r, t), _ = jax.lax.scan(step, (r0, t0), None, length=iters)
+    return r, t
+
+
 def ransac_essential(p1: jnp.ndarray, p2: jnp.ndarray, valid: jnp.ndarray,
-                     key: jax.Array, n_hypotheses: int = 256,
-                     threshold: float = 1e-4) -> TwoViewResult:
+                     key: jax.Array, n_hypotheses: int = 512,
+                     threshold: float = 1e-5,
+                     sample_size: int = 16,
+                     refit_iters: int = 10) -> TwoViewResult:
     """Vectorized RANSAC over normalized correspondences.
 
-    p1/p2: [N, 2]; valid: [N] bool; threshold on Sampson error in
-    normalized coords ((px_err / f)^2 scale).
-    All hypotheses are evaluated in parallel; the best-by-inlier-count is
-    refit on its inliers (weighted least squares, no dynamic shapes).
+    p1/p2: [N, 2]; valid: [N] bool; threshold on SQUARED Sampson error in
+    normalized coords ((px_err / f)^2 scale; the 1e-5 default is ~0.9 px
+    at f=288 — callers with a known focal should pass (t_px/f)^2).
+
+    All hypotheses are solved in one vmapped batch of least-squares
+    ``sample_size``-point systems and scored against all correspondences
+    at once.  Non-minimal sampling matters: with ~0.3 px detection noise
+    at small baselines, minimal 8-point fits are so ill-conditioned that
+    even all-inlier samples score a fraction of the true consensus
+    (measured: median 12 of 137 at 8 points vs 42 at 16).  The top seeds
+    are polished in parallel by ``refine_essential_gn`` — Gauss-Newton on
+    the essential manifold with a truncated Sampson loss — and the final
+    estimate is the polished candidate with the largest consensus.  No
+    data-dependent control flow anywhere: one jittable program.
     """
-    n = p1.shape[0]
-    w = valid.astype(jnp.float32)
-    # Sample 8 correspondences per hypothesis, biased to valid entries
+    # Sample correspondences per hypothesis, biased to valid entries
     # (invalid rows get ~zero probability).
     logits = jnp.where(valid, 0.0, -1e9)
     idx = jax.vmap(
-        lambda k: jax.random.categorical(k, logits, shape=(8,)))(
-        jax.random.split(key, n_hypotheses))          # [H, 8]
-    h1 = jnp.take(p1, idx, axis=0)                     # [H, 8, 2]
+        lambda k: jax.random.categorical(k, logits,
+                                         shape=(sample_size,)))(
+        jax.random.split(key, n_hypotheses))           # [H, S]
+    h1 = jnp.take(p1, idx, axis=0)                     # [H, S, 2]
     h2 = jnp.take(p2, idx, axis=0)
     es = eight_point(h1, h2)                           # [H, 3, 3]
 
     err = sampson_error(es, p1[None], p2[None])        # [H, N]
     inl = (err < threshold) & valid[None]
     scores = jnp.sum(inl, -1)
-    best = jnp.argmax(scores)
-    best_inl = inl[best]
 
-    # Refit on the best hypothesis' inliers: weighted least squares via
-    # eigen-decomposition of A^T W A (static shape, MXU-friendly).
-    a = _epipolar_system(p1, p2)                       # [N, 9]
-    wts = best_inl.astype(p1.dtype)[:, None]
-    ata = (a * wts).T @ a
-    evals, evecs = jnp.linalg.eigh(ata)
-    e = evecs[:, 0].reshape(3, 3)
-    u, _, vt = jnp.linalg.svd(e)
-    e = (u * jnp.asarray([1.0, 1.0, 0.0], e.dtype)[None, :]) @ vt
+    # Local optimization from the TOP-M seeds in parallel, selecting by
+    # post-polish consensus: pre-polish counts are a noisy ranking —
+    # near-degenerate wrong solutions can outscore every raw true-basin
+    # hypothesis, but only true-basin seeds grow to the full consensus
+    # under a manifold-constrained polish.
+    m_seeds = min(24, n_hypotheses)
+    _, seed_idx = jax.lax.top_k(scores, m_seeds)
 
-    err2 = sampson_error(e, p1, p2)
-    inliers = (err2 < threshold) & valid
+    def polish(seed):
+        r0, t0, _ = recover_pose(es[seed], p1, p2, inl[seed])
+        r, t = refine_essential_gn(r0, t0, p1, p2, valid, threshold,
+                                   iters=refit_iters)
+        e = se3.hat(t) @ r
+        err2 = sampson_error(e, p1, p2)
+        inliers = (err2 < threshold) & valid
+        return e, inliers, jnp.sum(inliers)
+
+    es_m, inl_m, counts_m = jax.vmap(polish)(seed_idx)
+    b = jnp.argmax(counts_m)
+    e = es_m[b]
+    inliers = inl_m[b]
 
     r, t, pts3d = recover_pose(e, p1, p2, inliers)
     return TwoViewResult(e_matrix=e, rotation=r, translation=t,

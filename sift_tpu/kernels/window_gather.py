@@ -27,12 +27,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-LANES = 256      # window width: 128-aligned origin + 128 slack
+LANES = 256      # default window width: 128-aligned origin + 128 slack
 SUBLANE = 8
 
 
 def _gather_kernel(lidx_ref, ys_ref, xs_ref, src_ref, out_ref, sems,
-                   *, rows: int, block_k: int):
+                   *, rows: int, lanes: int, block_k: int):
     i = pl.program_id(0)
     dmas = []
     for j in range(block_k):
@@ -40,7 +40,7 @@ def _gather_kernel(lidx_ref, ys_ref, xs_ref, src_ref, out_ref, sems,
         ys = pl.multiple_of(ys_ref[k], SUBLANE)
         xs = pl.multiple_of(xs_ref[k], 128)
         dma = pltpu.make_async_copy(
-            src_ref.at[lidx_ref[k], pl.ds(ys, rows), pl.ds(xs, LANES)],
+            src_ref.at[lidx_ref[k], pl.ds(ys, rows), pl.ds(xs, lanes)],
             out_ref.at[j],
             sems.at[j])
         dma.start()
@@ -49,16 +49,18 @@ def _gather_kernel(lidx_ref, ys_ref, xs_ref, src_ref, out_ref, sems,
         dma.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("rows", "block_k"))
+@functools.partial(jax.jit, static_argnames=("rows", "lanes", "block_k"))
 def gather_windows_pallas(values: jnp.ndarray, lidx: jnp.ndarray,
                           ys0: jnp.ndarray, xs0: jnp.ndarray,
-                          rows: int, block_k: int = 4) -> jnp.ndarray:
+                          rows: int, lanes: int = LANES,
+                          block_k: int = 8) -> jnp.ndarray:
     """values: [L, Hp, Wp] f32; lidx/ys0/xs0: [K] int32 ALIGNED window
     origins from `window_origins` (ys0 % 8 == 0, xs0 % 128 == 0, windows
-    in-bounds).  rows % 8 == 0.  Returns [K, rows, 256]."""
+    in-bounds).  rows % 8 == 0, lanes % 128 == 0.
+    Returns [K, rows, lanes]."""
     hp, wp = values.shape[-2:]
     hp2 = -(-max(hp, rows) // SUBLANE) * SUBLANE
-    wp2 = -(-max(wp, LANES) // 128) * 128
+    wp2 = -(-max(wp, lanes) // 128) * 128
     if hp2 != hp or wp2 != wp:
         values = jnp.pad(values, ((0, 0), (0, hp2 - hp), (0, wp2 - wp)))
     k = lidx.shape[0]
@@ -73,14 +75,15 @@ def gather_windows_pallas(values: jnp.ndarray, lidx: jnp.ndarray,
         num_scalar_prefetch=3,
         grid=(kp // block_k,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
-        out_specs=pl.BlockSpec((block_k, rows, LANES),
+        out_specs=pl.BlockSpec((block_k, rows, lanes),
                                lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((block_k,))],
     )
     out = pl.pallas_call(
-        functools.partial(_gather_kernel, rows=rows, block_k=block_k),
-        out_shape=jax.ShapeDtypeStruct((kp, rows, LANES), values.dtype),
+        functools.partial(_gather_kernel, rows=rows, lanes=lanes,
+                          block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((kp, rows, lanes), values.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
     )(lidx, ys0, xs0, values)

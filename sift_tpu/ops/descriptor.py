@@ -155,11 +155,14 @@ def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid,
     wo = jnp.maximum(0.0, 1.0 - jnp.minimum(od, float(_NB) - od))
     wo = wo * mag_w.reshape(kc, p)[:, :, None]                 # [Kc, P, 8]
     hrc = hr[:, :, :, None] * hc[:, :, None, :]                # [Kc, P, 4, 4]
+    # DEFAULT matmul precision: hat weights/magnitudes fit bf16 inputs with
+    # f32 accumulation well inside the +-1-of-255 descriptor gate; HIGHEST
+    # would force a multi-pass bf16 decomposition (3-6x the MXU work and
+    # f32 operand traffic).
     return jax.lax.dot_general(
         hrc.reshape(kc, p, _D * _D), wo,
         dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
     ).reshape(kc, _D, _D, _NB)                   # [Kc, D, D, NB]
 
 

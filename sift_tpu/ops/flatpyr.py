@@ -87,10 +87,11 @@ class PaddedPyramid(NamedTuple):
     consumer already masks to [1, h_o-2] x [1, w_o-2].
     """
 
-    values: jnp.ndarray   # [O*D, Hp, Wp]
+    values: jnp.ndarray   # [copies * O*D, Hp, Wp]
     height: jnp.ndarray   # [O] valid height per octave
     width: jnp.ndarray    # [O]
     layers: int           # D (static)
+    copies: int = 1       # lane-shifted replicas (see shift_copies)
 
     def octave_geometry(self, octave: jnp.ndarray):
         """Per-keypoint (h, w) for octave indices [K]."""
@@ -152,6 +153,24 @@ def gather_windows(p: PaddedPyramid, octave, layer, cy, cx, size: int):
     return win, offy, offx
 
 
+def shift_copies(p: PaddedPyramid, n: int = 4) -> PaddedPyramid:
+    """Append lane-shifted replicas of the slab (shift = 32 lanes apart).
+
+    DMA window origins must be 128-lane aligned; with ``n`` 32-lane-shifted
+    copies a keypoint can always pick a copy whose aligned 128-wide window
+    contains its whole patch — windows shrink from 256 to 128 lanes,
+    halving both DMA traffic and all downstream per-pixel math.  Costs
+    n x slab memory (bounded: slabs are one frame's gradient pyramid).
+    """
+    v = p.values
+    step = 128 // n
+    outs = [v]
+    for c in range(1, n):
+        s = step * c
+        outs.append(jnp.pad(v[:, :, s:], ((0, 0), (0, 0), (0, s))))
+    return p._replace(values=jnp.concatenate(outs, axis=0), copies=n)
+
+
 def resolve_gather_impl(impl: str) -> str:
     """"auto" -> "pallas" on TPU backends, "xla" elsewhere."""
     if impl != "auto":
@@ -174,34 +193,63 @@ def keypoint_window_pair(mag: PaddedPyramid, ori: PaddedPyramid,
                          octave, layer, cy, cx, radius: int, impl: str):
     """Gather per-keypoint (mag, ori) windows with shared aligned origins.
 
-    Returns (wm, wo, offy, offx): windows [K, rows, 256] and the true
+    Returns (wm, wo, offy, offx): windows [K, rows, lanes] and the true
     per-pixel offsets from the keypoint center, offy [K, rows] /
-    offx [K, 256] — the window is origin-shifted near edges, never
+    offx [K, lanes] — the window is origin-shifted near edges, never
     clipped, so offsets are exact and consumer masks stay correct.
+    With lane-shifted slab copies (shift_copies) lanes = 128, else 256.
     """
-    from sift_tpu.kernels.window_gather import (LANES, gather_windows_pallas,
+    from sift_tpu.kernels.window_gather import (SUBLANE,
+                                                gather_windows_pallas,
                                                 window_origins, window_rows)
 
     rows = window_rows(radius)
     lrel = octave.astype(jnp.int32) * mag.layers + layer.astype(jnp.int32)
-    li, ys0, xs0 = window_origins(mag.values.shape, lrel, cy, cx, rows,
-                                  radius)
+
+    if mag.copies > 1:
+        # Pick the shifted copy whose aligned 128-lane window contains the
+        # patch: absolute window start 32q with q = (cx - r - 1)//32 puts
+        # cx at lane offset in [r+1, r+32] and the patch end at
+        # <= 2(r+1)+31 <= 127 lanes for r <= 47.
+        lanes = 128
+        n_total = mag.values.shape[0] // mag.copies
+        step = lanes // mag.copies
+        hp, wp = mag.values.shape[-2:]
+        m = radius + 1
+        q = jnp.maximum((cx - m) // step, 0)
+        copy = q % mag.copies
+        al = (q // mag.copies) * lanes
+        al = jnp.minimum(al, wp - lanes).astype(jnp.int32)
+        li = copy * n_total + lrel
+        ys0 = jnp.minimum((cy - m) // SUBLANE * SUBLANE,
+                          -(-max(hp, rows) // SUBLANE) * SUBLANE - rows)
+        ys0 = jnp.maximum(ys0, 0).astype(jnp.int32)
+        xs_abs = al + copy * step
+        xs0 = al
+    else:
+        lanes = 256
+        li, ys0, xs0 = window_origins(mag.values.shape, lrel, cy, cx,
+                                      rows, radius)
+        xs_abs = xs0
+
     if resolve_gather_impl(impl) == "pallas":
-        wm = gather_windows_pallas(mag.values, li, ys0, xs0, rows)
-        wo = gather_windows_pallas(ori.values, li, ys0, xs0, rows)
+        wm = gather_windows_pallas(mag.values, li, ys0, xs0, rows,
+                                   lanes=lanes)
+        wo = gather_windows_pallas(ori.values, li, ys0, xs0, rows,
+                                   lanes=lanes)
     else:
         vm, vo = mag.values, ori.values
         hp, wp = vm.shape[-2:]
-        ph, pw = max(0, rows - hp), max(0, LANES - wp)
+        ph, pw = max(0, rows - hp), max(0, lanes - wp)
         if ph or pw:
             vm = jnp.pad(vm, ((0, 0), (0, ph), (0, pw)))
             vo = jnp.pad(vo, ((0, 0), (0, ph), (0, pw)))
-        wm = _xla_windows(vm, li, ys0, xs0, rows, LANES)
-        wo = _xla_windows(vo, li, ys0, xs0, rows, LANES)
+        wm = _xla_windows(vm, li, ys0, xs0, rows, lanes)
+        wo = _xla_windows(vo, li, ys0, xs0, rows, lanes)
     ry = jnp.arange(rows, dtype=jnp.int32)
-    rx = jnp.arange(LANES, dtype=jnp.int32)
+    rx = jnp.arange(lanes, dtype=jnp.int32)
     offy = ys0[:, None] + ry[None, :] - cy[:, None]
-    offx = xs0[:, None] + rx[None, :] - cx[:, None]
+    offx = xs_abs[:, None] + rx[None, :] - cx[:, None]
     return wm, wo, offy, offx
 
 

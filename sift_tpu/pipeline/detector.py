@@ -37,7 +37,8 @@ from sift_tpu.core.types import Keypoints, SiftPlan, SiftResult, build_plan
 from sift_tpu.ops import compact as C
 from sift_tpu.ops import descriptor as D
 from sift_tpu.ops import orientation as O
-from sift_tpu.ops.flatpyr import dense_gradients_padded, pad_pyramid
+from sift_tpu.ops.flatpyr import (dense_gradients_padded, pad_pyramid,
+                                  shift_copies)
 from sift_tpu.ops.peaks import find_candidates
 from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
 from sift_tpu.ops.refine import refine_keypoints
@@ -85,12 +86,15 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
         koct = jnp.take(roct, idx)
 
         # Dense gradients once per frame on the padded uniform stack
-        # (window gathers need uniform octave shapes).
+        # (window gathers need uniform octave shapes); lane-shifted copies
+        # shrink per-keypoint windows to 128 lanes.
         magf, orif = dense_gradients_padded(pad_pyramid(gauss))
+        magf, orif = shift_copies(magf), shift_copies(orif)
         if cfg.orientation_source == "gaussian":
             o_magf, o_orif = magf, orif
         else:
             o_magf, o_orif = dense_gradients_padded(pad_pyramid(dogs))
+            o_magf, o_orif = shift_copies(o_magf), shift_copies(o_orif)
 
         hist = O.orientation_histograms_flat(
             o_magf, o_orif, koct, kx, ky, klyr, ksize, val, cfg)
