@@ -39,6 +39,7 @@ class OdometryResult:
         self.translations: List[np.ndarray] = []
         self.n_matches: List[int] = []
         self.n_inliers: List[int] = []            # PnP/essential inliers
+        self.modes: List[str] = []                # init/pnp/bootstrap/fallback
 
     def poses_cam_to_world(self) -> List[np.ndarray]:
         out = []
@@ -100,6 +101,7 @@ class MonocularOdometry:
             out.translations.append(np.zeros(3, np.float32))
             out.n_matches.append(0)
             out.n_inliers.append(0)
+            out.modes.append("init")
             self._prev = res
             return self._pose_mat(-1)
 
@@ -121,17 +123,21 @@ class MonocularOdometry:
 
         if len(lm_rows) >= self.min_pnp_points:
             ok = self._track_pnp(qi, ti, pb, lm_rows, fidx)
+            mode = "pnp"
         else:
             ok = False
         if not ok:
             ok = self._bootstrap(qi, ti, pa, pb, fidx)
+            mode = "bootstrap"
         if not ok:
             self._append_fallback()
             out.n_matches.append(len(qi))
             out.n_inliers.append(0)
+            out.modes.append("fallback")
             self._prev_lms = {}
         else:
             out.n_matches.append(len(qi))
+            out.modes.append(mode)
         self._prev = res
 
         if self.ba_interval and ok and fidx % self.ba_interval == 0 \

