@@ -38,8 +38,8 @@ import jax.numpy as jnp
 from sift_tpu.config import (SIFT_DESCR_HIST_BINS, SIFT_DESCR_SCL_FCTR,
                              SIFT_DESCR_WIDTH, SIFT_INT_DESCR_FCTR,
                              SiftConfig)
-from sift_tpu.ops.flatpyr import (PaddedPyramid, dense_gradients_padded,
-                                  keypoint_window_pair, pad_pyramid)
+from sift_tpu.ops.flatpyr import (PaddedPyramid, dense_gradients_packed,
+                                  keypoint_window_packed, pad_pyramid)
 
 _D = SIFT_DESCR_WIDTH        # 4 spatial cells per side
 _NB = SIFT_DESCR_HIST_BINS   # 8 orientation bins
@@ -58,12 +58,12 @@ def _hat(t):
     return jnp.maximum(0.0, 1.0 - jnp.abs(t))
 
 
-def compute_descriptors_flat(mag: PaddedPyramid, ori: PaddedPyramid,
+def compute_descriptors_flat(grad: PaddedPyramid,
                              octave, x, y, layer, size, angle, valid,
                              cfg: SiftConfig, chunk: int = 512):
     """One global pass over keypoints of every octave.
 
-    mag/ori: padded dense gradient pyramids; octave [K] int32; x/y/size
+    grad: PACKED dense gradient pyramid; octave [K] int32; x/y/size
     in base-image space; angle in degrees.
 
     Returns (desc [K, 128] float32 pre-quantization, nrm2 [K, 1]); invalid
@@ -89,7 +89,7 @@ def compute_descriptors_flat(mag: PaddedPyramid, ori: PaddedPyramid,
                  (octave, px, py, layer, scl, ang, valid))
 
     def body(ch):
-        return _descriptor_hist(mag, ori, *ch, rmax, cfg.gather_impl)
+        return _descriptor_hist(grad, *ch, rmax, cfg.gather_impl)
 
     if nchunk == 1:
         hist = body(tuple(a[0] for a in args))[None]
@@ -99,7 +99,7 @@ def compute_descriptors_flat(mag: PaddedPyramid, ori: PaddedPyramid,
     return finalize_descriptor(hist)
 
 
-def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid,
+def _descriptor_hist(grad, octave, px, py, layer, scl, ang, valid,
                      rmax, impl):
     """[Kc, D, D, NB] histogram via hat-function reductions on the MXU."""
     hist_width = SIFT_DESCR_SCL_FCTR * scl
@@ -108,13 +108,13 @@ def _descriptor_hist(mag, ori, octave, px, py, layer, scl, ang, valid,
     cos_t = jnp.cos(arad) * inv_hw
     sin_t = jnp.sin(arad) * inv_hw
 
-    h, w = mag.octave_geometry(octave)
+    h, w = grad.octave_geometry(octave)
     diag = jnp.sqrt((h * h + w * w).astype(jnp.float32))
     radius = jnp.minimum(
         jnp.round(hist_width * math.sqrt(2.0) * (_D + 1) * 0.5), diag)
 
-    m_p, o_p, offy, offx = keypoint_window_pair(
-        mag, ori, octave, layer, py, px, rmax, impl)
+    m_p, o_p, offy, offx = keypoint_window_packed(
+        grad, octave, layer, py, px, rmax, impl)
     offyf = offy.astype(jnp.float32)                     # [Kc, rows]
     offxf = offx.astype(jnp.float32)                     # [Kc, 256]
     ii = offyf[:, :, None]                               # rows
@@ -165,11 +165,10 @@ def compute_descriptors(block: jnp.ndarray, x, y, layer, size, angle, valid,
                         octave: int, cfg: SiftConfig, chunk: int = 512):
     """Single-octave wrapper (golden-replay API parity): block [D, H, W]
     Gaussian stack of this octave; x/y/size in base-image space."""
-    padded = pad_pyramid([block])
-    mag, ori = dense_gradients_padded(padded)
+    grad = dense_gradients_packed(pad_pyramid([block]))
     oct_arr = jnp.zeros(x.shape, jnp.int32)
     inv = 1.0 / float(1 << octave)
-    return compute_descriptors_flat(mag, ori, oct_arr, x * inv, y * inv,
+    return compute_descriptors_flat(grad, oct_arr, x * inv, y * inv,
                                     layer, size * inv, angle, valid, cfg,
                                     chunk)
 

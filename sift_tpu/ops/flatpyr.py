@@ -11,69 +11,11 @@ orientation/descriptor run once per frame instead of once per octave.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Tuple
+from typing import List, NamedTuple
 
 import numpy as np
 import jax
 import jax.numpy as jnp
-
-
-class FlatPyramid(NamedTuple):
-    """values: [N] flat buffer; per-octave static geometry tables
-    (device-resident int32 [n_octaves])."""
-
-    values: jnp.ndarray
-    base_offset: jnp.ndarray  # offset of octave o's block
-    height: jnp.ndarray       # h_o
-    width: jnp.ndarray        # w_o
-
-    def octave_geometry(self, octave: jnp.ndarray):
-        """Per-keypoint (offset, h, w) for octave indices [K]."""
-        return (jnp.take(self.base_offset, octave),
-                jnp.take(self.height, octave),
-                jnp.take(self.width, octave))
-
-
-def flatten_pyramid(blocks: List[jnp.ndarray]) -> FlatPyramid:
-    """blocks: per-octave [D, H_o, W_o] stacks (all same D)."""
-    offs, hs, ws = [], [], []
-    acc = 0
-    for b in blocks:
-        d, h, w = b.shape
-        offs.append(acc)
-        hs.append(h)
-        ws.append(w)
-        acc += d * h * w
-    values = jnp.concatenate([b.reshape(-1) for b in blocks])
-    return FlatPyramid(
-        values=values,
-        base_offset=jnp.asarray(np.array(offs, np.int32)),
-        height=jnp.asarray(np.array(hs, np.int32)),
-        width=jnp.asarray(np.array(ws, np.int32)))
-
-
-def gather_patches_flat(flat: FlatPyramid, octave, layer, cy, cx,
-                        size: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Batched [K, size, size] patch gather centered at (cy, cx) of
-    (octave, layer), clamped to each keypoint's own octave bounds.
-
-    Returns (patch, off) with off = [-R..R] the patch coordinate offsets.
-    Consumers must mask positions whose unclamped coordinates fall outside
-    the octave image.
-    """
-    r = size // 2
-    off = jnp.arange(size, dtype=jnp.int32) - r
-    base, h, w = flat.octave_geometry(octave)
-    lbase = base + layer.astype(jnp.int32) * h * w
-    ys = jnp.clip(cy[:, None] + off[None, :], 0,
-                  (h - 1)[:, None])                          # [K, S]
-    xs = jnp.clip(cx[:, None] + off[None, :], 0,
-                  (w - 1)[:, None])                          # [K, S]
-    idx = (lbase[:, None, None] + ys[:, :, None] * w[:, None, None]
-           + xs[:, None, :])                                 # [K, S, S]
-    patch = jnp.take(flat.values, idx.reshape(idx.shape[0], -1),
-                     axis=0).reshape(-1, size, size)
-    return patch, off
 
 
 class PaddedPyramid(NamedTuple):
@@ -120,39 +62,6 @@ def pad_pyramid(blocks: List[jnp.ndarray]) -> PaddedPyramid:
         layers=d)
 
 
-def gather_windows(p: PaddedPyramid, octave, layer, cy, cx, size: int):
-    """Batched [K, size, size] windows around (cy, cx) of (octave, layer).
-
-    The window origin is clamped to the padded slab, NOT the patch center —
-    near edges the window shifts instead of clipping, and the returned
-    per-keypoint offsets (offy/offx [K, size], pixel minus center) carry
-    the true geometry so downstream masks/weights stay exact.
-    """
-    r = size // 2
-    hp, wp = p.values.shape[-2:]
-    if hp < size or wp < size:
-        # Image smaller than the window: zero-pad the slab (out-of-image
-        # pixels are masked by consumers via the octave geometry).
-        p = p._replace(values=jnp.pad(
-            p.values, ((0, 0), (0, max(0, size - hp)),
-                       (0, max(0, size - wp)))))
-        hp, wp = p.values.shape[-2:]
-    ys0 = jnp.clip(cy - r, 0, hp - size)
-    xs0 = jnp.clip(cx - r, 0, wp - size)
-    lidx = octave.astype(jnp.int32) * p.layers + layer.astype(jnp.int32)
-    lidx = jnp.clip(lidx, 0, p.values.shape[0] - 1)
-
-    def one(l, y, x):
-        return jax.lax.dynamic_slice(p.values, (l, y, x),
-                                     (1, size, size))[0]
-
-    win = jax.vmap(one)(lidx, ys0, xs0)
-    ar = jnp.arange(size, dtype=jnp.int32)
-    offy = ys0[:, None] + ar[None, :] - cy[:, None]
-    offx = xs0[:, None] + ar[None, :] - cx[:, None]
-    return win, offy, offx
-
-
 def shift_copies(p: PaddedPyramid, n: int = 4) -> PaddedPyramid:
     """Append lane-shifted replicas of the slab (shift = 32 lanes apart).
 
@@ -189,11 +98,21 @@ def _xla_windows(values, lidx, ys0, xs0, rows, lanes):
     return jax.vmap(one)(lidx, ys0, xs0)
 
 
-def keypoint_window_pair(mag: PaddedPyramid, ori: PaddedPyramid,
-                         octave, layer, cy, cx, radius: int, impl: str):
-    """Gather per-keypoint (mag, ori) windows with shared aligned origins.
+def keypoint_window_packed(packed: PaddedPyramid, octave, layer, cy, cx,
+                           radius: int, impl: str):
+    """Gather per-keypoint PACKED-gradient windows (ONE gather) and
+    decode.  Returns (wm, wo, offy, offx) like keypoint_window_pair."""
+    w, offy, offx = _keypoint_windows(packed, octave, layer, cy, cx,
+                                      radius, impl)
+    m, o = unpack_gradients(w)
+    return m, o, offy, offx
 
-    Returns (wm, wo, offy, offx): windows [K, rows, lanes] and the true
+
+def _keypoint_windows(src: PaddedPyramid, octave, layer, cy, cx,
+                      radius: int, impl: str):
+    """One pyramid's per-keypoint windows with aligned origins.
+
+    Returns (win, offy, offx): windows [K, rows, lanes] and the true
     per-pixel offsets from the keypoint center, offy [K, rows] /
     offx [K, lanes] — the window is origin-shifted near edges, never
     clipped, so offsets are exact and consumer masks stay correct.
@@ -204,21 +123,21 @@ def keypoint_window_pair(mag: PaddedPyramid, ori: PaddedPyramid,
                                                 window_origins, window_rows)
 
     rows = window_rows(radius)
-    lrel = octave.astype(jnp.int32) * mag.layers + layer.astype(jnp.int32)
+    lrel = octave.astype(jnp.int32) * src.layers + layer.astype(jnp.int32)
 
-    if mag.copies > 1:
+    if src.copies > 1:
         # Pick the shifted copy whose aligned 128-lane window contains the
         # patch: absolute window start 32q with q = (cx - r - 1)//32 puts
         # cx at lane offset in [r+1, r+32] and the patch end at
         # <= 2(r+1)+31 <= 127 lanes for r <= 47.
         lanes = 128
-        n_total = mag.values.shape[0] // mag.copies
-        step = lanes // mag.copies
-        hp, wp = mag.values.shape[-2:]
+        n_total = src.values.shape[0] // src.copies
+        step = lanes // src.copies
+        hp, wp = src.values.shape[-2:]
         m = radius + 1
         q = jnp.maximum((cx - m) // step, 0)
-        copy = q % mag.copies
-        al = (q // mag.copies) * lanes
+        copy = q % src.copies
+        al = (q // src.copies) * lanes
         al = jnp.minimum(al, wp - lanes).astype(jnp.int32)
         li = copy * n_total + lrel
         ys0 = jnp.minimum((cy - m) // SUBLANE * SUBLANE,
@@ -228,28 +147,34 @@ def keypoint_window_pair(mag: PaddedPyramid, ori: PaddedPyramid,
         xs0 = al
     else:
         lanes = 256
-        li, ys0, xs0 = window_origins(mag.values.shape, lrel, cy, cx,
+        li, ys0, xs0 = window_origins(src.values.shape, lrel, cy, cx,
                                       rows, radius)
         xs_abs = xs0
 
     if resolve_gather_impl(impl) == "pallas":
-        wm = gather_windows_pallas(mag.values, li, ys0, xs0, rows,
-                                   lanes=lanes)
-        wo = gather_windows_pallas(ori.values, li, ys0, xs0, rows,
-                                   lanes=lanes)
+        win = gather_windows_pallas(src.values, li, ys0, xs0, rows,
+                                    lanes=lanes)
     else:
-        vm, vo = mag.values, ori.values
-        hp, wp = vm.shape[-2:]
+        v = src.values
+        hp, wp = v.shape[-2:]
         ph, pw = max(0, rows - hp), max(0, lanes - wp)
         if ph or pw:
-            vm = jnp.pad(vm, ((0, 0), (0, ph), (0, pw)))
-            vo = jnp.pad(vo, ((0, 0), (0, ph), (0, pw)))
-        wm = _xla_windows(vm, li, ys0, xs0, rows, lanes)
-        wo = _xla_windows(vo, li, ys0, xs0, rows, lanes)
+            v = jnp.pad(v, ((0, 0), (0, ph), (0, pw)))
+        win = _xla_windows(v, li, ys0, xs0, rows, lanes)
     ry = jnp.arange(rows, dtype=jnp.int32)
     rx = jnp.arange(lanes, dtype=jnp.int32)
     offy = ys0[:, None] + ry[None, :] - cy[:, None]
     offx = xs_abs[:, None] + rx[None, :] - cx[:, None]
+    return win, offy, offx
+
+
+def keypoint_window_pair(mag: PaddedPyramid, ori: PaddedPyramid,
+                         octave, layer, cy, cx, radius: int, impl: str):
+    """Two-pyramid variant (separate mag/ori slabs): two gathers with
+    shared origins.  Prefer keypoint_window_packed (half the traffic)."""
+    wm, offy, offx = _keypoint_windows(mag, octave, layer, cy, cx, radius,
+                                       impl)
+    wo, _, _ = _keypoint_windows(ori, octave, layer, cy, cx, radius, impl)
     return wm, wo, offy, offx
 
 
@@ -263,6 +188,39 @@ def dense_gradients_padded(p: PaddedPyramid):
     ori = jnp.arctan2(dy, dx) * (180.0 / np.pi)
     ori = jnp.where(ori < 0, ori + 360.0, ori)
     return p._replace(values=mag), p._replace(values=ori)
+
+
+# 10-bit magnitude + 14-bit orientation packed into one float32:
+# packed = mag_q * 16384 + ori_q, an integer <= 2^24 - 1 (exact in f32).
+# Orientation gets the finer grain (0.022 deg): histogram-bin decisions are
+# sensitive to it, while magnitude only weights sums.  Max gradient
+# magnitude for 0..255 images is 2*255*sqrt(2) ~ 721.2.
+_PACK_BINS = 16384.0
+_PACK_MAG_SCALE = 1023.0 / 722.0
+
+
+def dense_gradients_packed(p: PaddedPyramid) -> PaddedPyramid:
+    """Packed dense gradients: ONE slab instead of (mag, ori) — halves the
+    per-keypoint window-gather traffic of the orientation/descriptor
+    stages.  Quantization: mag to 0.18 absolute (of <= 722), ori to
+    0.088 deg — both far inside the stages' tolerance gates."""
+    b = p.values
+    dx = jnp.roll(b, -1, axis=-1) - jnp.roll(b, 1, axis=-1)
+    dy = jnp.roll(b, 1, axis=-2) - jnp.roll(b, -1, axis=-2)
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    ori = jnp.arctan2(dy, dx) * (180.0 / np.pi)
+    ori = jnp.where(ori < 0, ori + 360.0, ori)
+    mq = jnp.clip(jnp.round(mag * _PACK_MAG_SCALE), 0.0, 1023.0)
+    oq = jnp.round(ori * (_PACK_BINS / 360.0))
+    oq = jnp.where(oq >= _PACK_BINS, oq - _PACK_BINS, oq)
+    return p._replace(values=mq * _PACK_BINS + oq)
+
+
+def unpack_gradients(packed: jnp.ndarray):
+    """Inverse of the packing: (mag, ori_degrees)."""
+    mq = jnp.floor(packed * (1.0 / _PACK_BINS))
+    oq = packed - mq * _PACK_BINS
+    return mq * (1.0 / _PACK_MAG_SCALE), oq * (360.0 / _PACK_BINS)
 
 
 def dense_gradients(blocks: List[jnp.ndarray]):

@@ -56,7 +56,9 @@ def orientation_histograms_flat(mag: PaddedPyramid, ori: PaddedPyramid,
                                 chunk: int = 1024) -> jnp.ndarray:
     """One global pass over keypoints of every octave.
 
-    mag/ori: padded dense gradient pyramids; octave: [K] int32 per
+    mag/ori: FULL-PRECISION dense gradient pyramids (the 1-degree angle
+    parity gate is sensitive to histogram perturbations; the packed slab
+    is reserved for the descriptor stage).  octave: [K] int32 per
     keypoint; x/y/size in base-image space.  Returns raw histograms
     [K, 36]."""
     inv = jnp.exp2(-octave.astype(jnp.float32))
@@ -129,8 +131,7 @@ def orientation_histograms(block: jnp.ndarray, x, y, layer, size, valid,
                            octave: int, cfg: SiftConfig) -> jnp.ndarray:
     """Single-octave wrapper (golden-replay API parity): block [D, H, W]
     source stack; octave is this block's pyramid octave index."""
-    padded = pad_pyramid([block])
-    mag, ori = dense_gradients_padded(padded)
+    mag, ori = dense_gradients_padded(pad_pyramid([block]))
     # base-image -> this octave's scale uses 2^octave, but the padded
     # pyramid has a single block at index 0; pre-scale coordinates.
     oct_arr = jnp.zeros(x.shape, jnp.int32)

@@ -37,7 +37,8 @@ from sift_tpu.core.types import Keypoints, SiftPlan, SiftResult, build_plan
 from sift_tpu.ops import compact as C
 from sift_tpu.ops import descriptor as D
 from sift_tpu.ops import orientation as O
-from sift_tpu.ops.flatpyr import (dense_gradients_padded, pad_pyramid,
+from sift_tpu.ops.flatpyr import (dense_gradients_packed,
+                                  dense_gradients_padded, pad_pyramid,
                                   shift_copies)
 from sift_tpu.ops.peaks import find_candidates
 from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
@@ -87,17 +88,20 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
 
         # Dense gradients once per frame on the padded uniform stack
         # (window gathers need uniform octave shapes); lane-shifted copies
-        # shrink per-keypoint windows to 128 lanes.
-        magf, orif = dense_gradients_padded(pad_pyramid(gauss))
-        magf, orif = shift_copies(magf), shift_copies(orif)
+        # shrink per-keypoint windows to 128 lanes.  The descriptor reads
+        # a PACKED (mag, ori) slab — one gather per window; orientation
+        # keeps the full-precision pair (its 1-degree parity gate is
+        # sensitive to quantization).
+        padded_gauss = pad_pyramid(gauss)
+        gradf = shift_copies(dense_gradients_packed(padded_gauss))
         if cfg.orientation_source == "gaussian":
-            o_magf, o_orif = magf, orif
+            o_mag, o_ori = dense_gradients_padded(padded_gauss)
         else:
-            o_magf, o_orif = dense_gradients_padded(pad_pyramid(dogs))
-            o_magf, o_orif = shift_copies(o_magf), shift_copies(o_orif)
+            o_mag, o_ori = dense_gradients_padded(pad_pyramid(dogs))
+        o_mag, o_ori = shift_copies(o_mag), shift_copies(o_ori)
 
         hist = O.orientation_histograms_flat(
-            o_magf, o_orif, koct, kx, ky, klyr, ksize, val, cfg)
+            o_mag, o_ori, koct, kx, ky, klyr, ksize, val, cfg)
         angles, peaks = O.orientation_peaks(hist, val, cfg)
 
         # Expansion: up to 36 oriented copies per keypoint
@@ -117,7 +121,7 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
             valid=evalid)
 
         desc, nrm2 = D.compute_descriptors_flat(
-            magf, orif, kps.octave, kps.x, kps.y, kps.layer, kps.size,
+            gradf, kps.octave, kps.x, kps.y, kps.layer, kps.size,
             kps.angle, kps.valid, cfg)
         desc = D.quantize_descriptor(desc, nrm2, quant_mode)
         desc = jnp.where(evalid[:, None], desc, 0.0)
