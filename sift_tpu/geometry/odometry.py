@@ -63,8 +63,9 @@ class MonocularOdometry:
                  min_pnp_points: int = 12, pnp_threshold_px: float = 3.0,
                  max_depth: float = 1e3, min_depth: float = 1e-2,
                  triangulation_err_px: float = 2.0,
-                 ba_interval: int = 0, ba_window: int = 5, seed: int = 0):
-        self.detector = SiftDetector(config)
+                 ba_interval: int = 0, ba_window: int = 5, seed: int = 0,
+                 tiers: tuple = ()):
+        self.detector = SiftDetector(config, tiers=tiers)
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.ratio = ratio
         self.ransac_iters = ransac_iters

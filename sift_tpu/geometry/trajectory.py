@@ -10,7 +10,7 @@ RPE = per-step relative-pose error.
 
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from typing import List, Tuple
 
 import numpy as np
 

@@ -29,8 +29,6 @@ oracle, readme.md:5):
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

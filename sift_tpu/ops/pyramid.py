@@ -14,7 +14,7 @@ pyramid is a short static chain of large matmuls that XLA schedules.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import List
 
 import jax.numpy as jnp
 

@@ -24,10 +24,8 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sift_tpu.geometry import se3
-from sift_tpu.geometry.ba import (BAProblem, BAState, _mean_cost,
-                                  apply_step, normal_equation_terms,
-                                  solve_schur)
+from sift_tpu.geometry.ba import (BAProblem, BAState, apply_step,
+                                  normal_equation_terms, solve_schur)
 
 
 def _pad_observations(p: BAProblem, n_shards: int) -> BAProblem:

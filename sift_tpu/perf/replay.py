@@ -27,7 +27,7 @@ from sift_tpu.ops import compact as C
 from sift_tpu.ops import descriptor as D
 from sift_tpu.ops import orientation as O
 from sift_tpu.ops.peaks import find_candidates
-from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
+from sift_tpu.ops.pyramid import gaussian_pyramid
 from sift_tpu.ops.refine import refine_keypoints
 
 from sift_tpu.perf.checkpoint import config_from_params

@@ -19,7 +19,6 @@ import time
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 
 
 def chained_runner(step: Callable, k: int):

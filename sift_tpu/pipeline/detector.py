@@ -26,7 +26,7 @@ Detector.cu:555-582).
 
 from __future__ import annotations
 
-from typing import List, Optional
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -45,9 +45,17 @@ from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
 from sift_tpu.ops.refine_dense import refine_keypoints_dense
 
 
-def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
-    """Returns the pure function image [H, W] f32 -> SiftResult."""
+def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
+                    kpt_cap: Optional[int] = None):
+    """Returns the pure function image [H, W] f32 -> SiftResult.
+
+    ``kpt_cap`` bounds the INTERNAL keypoint capacity of the global
+    orientation/descriptor passes (a capacity tier; defaults to
+    num_features).  Outputs are always padded to num_features so every
+    tier produces identical shapes; if a frame saturates the tier
+    (count == kpt_cap) the caller should re-run a larger tier."""
     cfg = plan.config
+    kcap = int(kpt_cap or cfg.num_features)
 
     def detect(image: jnp.ndarray) -> SiftResult:
         gauss = gaussian_pyramid(plan, image)
@@ -77,7 +85,7 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
 
         # Global compaction: ONE fixed-capacity keypoint set across all
         # octaves (≙ collectKpts per octave + the cross-octave gather).
-        idx, val = C.stream_compact(rval, cfg.num_features)
+        idx, val = C.stream_compact(rval, kcap)
         kx = jnp.take(rx, idx)
         ky = jnp.take(ry, idx)
         klyr = jnp.take(rlyr, idx)
@@ -107,8 +115,7 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
         # Expansion: up to 36 oriented copies per keypoint
         # (SiftOps.cu:338-373), flattened and compacted to num_features.
         nb = angles.shape[1]
-        eidx, evalid = C.stream_compact(peaks.reshape(-1),
-                                        cfg.num_features)
+        eidx, evalid = C.stream_compact(peaks.reshape(-1), kcap)
         src = eidx // nb
 
         kps = Keypoints(
@@ -131,6 +138,16 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
             # octave index shifts down by one.
             kps = kps._replace(x=kps.x * 0.5, y=kps.y * 0.5,
                                size=kps.size * 0.5, octave=kps.octave - 1)
+        if kcap < cfg.num_features:
+            # Pad tiered outputs to the uniform num_features shape.
+            pad = cfg.num_features - kcap
+
+            def padf(a):
+                return jnp.concatenate(
+                    [a, jnp.zeros((pad,) + a.shape[1:], a.dtype)])
+
+            kps = Keypoints(*[padf(f) for f in kps])
+            desc = padf(desc)
         return SiftResult(keypoints=kps, descriptors=desc,
                           count=kps.count().astype(jnp.int32))
 
@@ -144,11 +161,24 @@ class SiftDetector:
     (≙ prev_descriptor rotation, Detector.cu:136-141)."""
 
     def __init__(self, config: SiftConfig, quant_mode: str = "opencv",
-                 jit: bool = True):
+                 jit: bool = True, tiers: tuple = ()):
+        """``tiers``: optional ascending internal keypoint-capacity tiers
+        (e.g. (1024, 2048)).  Real frames usually carry far fewer
+        keypoints than num_features; running the per-keypoint stages at a
+        matched capacity cuts their cost proportionally.  Tier selection
+        is automatic per frame (scaled previous count, with an exact
+        saturation fallback that re-runs the full program), and every
+        tier pads its output to num_features so downstream shapes never
+        change."""
         self.config = config
         self.plan = build_plan(config)
-        fn = build_detect_fn(self.plan, quant_mode)
-        self._fn = jax.jit(fn) if jit else fn
+        wrap = jax.jit if jit else (lambda f: f)
+        self._fn = wrap(build_detect_fn(self.plan, quant_mode))
+        self.tiers = tuple(int(t) for t in sorted(tiers)
+                           if t < config.num_features)
+        self._tier_fns = {t: wrap(build_detect_fn(self.plan, quant_mode, t))
+                          for t in self.tiers}
+        self._last_count: Optional[int] = None
         self.prev_result: Optional[SiftResult] = None  # frame t-1
         self.last_result: Optional[SiftResult] = None  # frame t
 
@@ -161,13 +191,37 @@ class SiftDetector:
         float(jnp.sum(res.descriptors[0]))
         return True
 
+    def _pick_tier(self) -> Optional[int]:
+        """Smallest tier with 1.5x headroom over the previous frame's
+        count; None = full capacity (also for the first frame)."""
+        if self._last_count is None or not self.tiers:
+            return None
+        need = max(64, int(self._last_count * 1.5))
+        for t in self.tiers:
+            if t >= need:
+                return t
+        return None
+
     def detect_and_compute(self, image) -> SiftResult:
         image = jnp.asarray(image, jnp.float32)
         if image.shape != (self.config.height, self.config.width):
             raise ValueError(
                 f"image shape {image.shape} != configured "
                 f"{(self.config.height, self.config.width)}")
-        result = self._fn(image)
+        tier = self._pick_tier()
+        if tier is None:
+            result = self._fn(image)
+        else:
+            result = self._tier_fns[tier](image)
+            # Saturated tier -> the compaction may have truncated; re-run
+            # at full capacity for exact results.
+            if int(result.count) >= tier:
+                result = self._fn(image)
+        if self.tiers:
+            # Host count readback steers the next frame's tier (the only
+            # host sync; ≙ the reference's pinned-count sync,
+            # Detector.cu:542-559).
+            self._last_count = int(result.count)
         self.prev_result = self.last_result
         self.last_result = result
         return result

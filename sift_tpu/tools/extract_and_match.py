@@ -37,7 +37,9 @@ def main(argv=None):
         raise SystemExit(f"no images in {args.dir}")
     h, w = frames[0].shape
     cfg = SiftConfig(width=w, height=h, num_features=args.num_features)
-    det = SiftDetector(cfg)
+    tiers = tuple(t for t in (args.num_features // 4, args.num_features // 2)
+                  if t >= 256)
+    det = SiftDetector(cfg, tiers=tiers)
     det.warm_up()
 
     prev_kps = None
