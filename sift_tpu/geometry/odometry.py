@@ -64,7 +64,10 @@ class MonocularOdometry:
                  max_depth: float = 1e3, min_depth: float = 1e-2,
                  triangulation_err_px: float = 2.0,
                  ba_interval: int = 0, ba_window: int = 5, seed: int = 0,
-                 tiers: tuple = ()):
+                 tiers: tuple = (), loop_closure: bool = False,
+                 kf_interval: int = 4, loop_min_gap: int = 8,
+                 loop_min_matches: int = 25, loop_min_inliers: int = 20,
+                 loop_edge_weight: float = 5.0):
         self.detector = SiftDetector(config, tiers=tiers)
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.ratio = ratio
@@ -86,6 +89,15 @@ class MonocularOdometry:
         self._prev_lms: Dict[int, int] = {}
         self._points: List[np.ndarray] = []   # landmark world positions
         self._obs = []                    # (frame, landmark, uv) for BA
+        # loop closure
+        self.loop_closure = loop_closure
+        self.kf_interval = kf_interval
+        self.loop_min_gap = loop_min_gap
+        self.loop_min_matches = loop_min_matches
+        self.loop_min_inliers = loop_min_inliers
+        self.loop_edge_weight = loop_edge_weight
+        self._keyframes = []      # (fidx, SiftResult, {kpt_idx: landmark})
+        self.closures: List[tuple] = []   # (kf_fidx, fidx, n_inliers)
 
     def _split_key(self):
         self._key, k = jax.random.split(self._key)
@@ -144,6 +156,10 @@ class MonocularOdometry:
         if self.ba_interval and ok and fidx % self.ba_interval == 0 \
                 and fidx >= 2:
             self._run_window_ba(fidx)
+        if self.loop_closure and ok:
+            if fidx % self.kf_interval == 0 and self._prev_lms:
+                self._keyframes.append((fidx, res, dict(self._prev_lms)))
+            self._try_loop_closure(res, fidx)
         return self._pose_mat(-1)
 
     # ------------------------------------------------------------------
@@ -270,6 +286,86 @@ class MonocularOdometry:
             self._obs.append((fidx - 1, lm, pa[j]))
             self._obs.append((fidx, lm, pbn[j]))
             new_lms[int(qi[k])] = lm
+
+    def _try_loop_closure(self, res, fidx: int):
+        """Relocalization-style closure: match the current frame against
+        old keyframes; landmarks seen from the keyframe give METRIC 3D-2D
+        pairs -> PnP -> an absolute corrected pose; a high-weight pose-
+        graph edge then redistributes the drift over the trajectory."""
+        from sift_tpu.geometry.posegraph import PoseGraph, optimize
+
+        out = self.result
+        best = None
+        for kf_fidx, kf_res, kf_lms in self._keyframes:
+            if fidx - kf_fidx < self.loop_min_gap:
+                continue
+            qi, ti = match_pairs(res.descriptors, kf_res.descriptors,
+                                 res.keypoints.valid,
+                                 kf_res.keypoints.valid, ratio=self.ratio)
+            rows = [k for k in range(len(qi)) if int(ti[k]) in kf_lms]
+            if len(rows) >= self.loop_min_matches and \
+                    (best is None or len(rows) > best[0]):
+                best = (len(rows), kf_fidx, kf_lms, qi, ti, rows)
+        if best is None:
+            return
+        _, kf_fidx, kf_lms, qi, ti, rows = best
+        pts_w = np.stack([self._points[kf_lms[int(ti[k])]] for k in rows])
+        uv = np.stack([[np.asarray(res.keypoints.x)[qi[k]],
+                        np.asarray(res.keypoints.y)[qi[k]]] for k in rows])
+        r, t, inl, err = pnp_gn(
+            jnp.asarray(pts_w, jnp.float32), jnp.asarray(uv, jnp.float32),
+            jnp.ones(len(rows), bool), self.fx, self.fy, self.cx, self.cy,
+            jnp.asarray(out.rotations[-1]),
+            jnp.asarray(out.translations[-1]),
+            threshold_px=self.pnp_threshold_px)
+        n_inl = int(inl.sum())
+        if n_inl < self.loop_min_inliers:
+            return
+        self.closures.append((kf_fidx, fidx, n_inl))
+
+        # Pose graph over all frames: sequential odometry edges + the
+        # closure edge anchoring the corrected current pose to the
+        # keyframe (relative measurement from the PnP result).
+        n = len(out.rotations)
+        g = PoseGraph.empty(n, n + len(self.closures))
+        rots = jnp.asarray(np.stack(out.rotations))
+        trs = jnp.asarray(np.stack(out.translations))
+        ei, ej, rrel, trel, wts = [], [], [], [], []
+        for i in range(n - 1):
+            ri, tsi = out.rotations[i], out.translations[i]
+            rj, tsj = out.rotations[i + 1], out.translations[i + 1]
+            rr = rj @ ri.T
+            ei.append(i)
+            ej.append(i + 1)
+            rrel.append(rr)
+            trel.append(tsj - rr @ tsi)
+            wts.append(1.0)
+        r_c = np.asarray(r, np.float32)
+        t_c = np.asarray(t, np.float32)
+        r_kf = out.rotations[kf_fidx]
+        t_kf = out.translations[kf_fidx]
+        rr = r_c @ r_kf.T
+        ei.append(kf_fidx)
+        ej.append(n - 1)
+        rrel.append(rr)
+        trel.append(t_c - rr @ t_kf)
+        wts.append(self.loop_edge_weight)
+        pad = g.edge_i.shape[0] - len(ei)
+        g = g._replace(
+            rotations=rots, translations=trs,
+            pose_valid=jnp.ones((n,), bool),
+            edge_i=jnp.asarray(ei + [0] * pad, jnp.int32),
+            edge_j=jnp.asarray(ej + [0] * pad, jnp.int32),
+            rel_rot=jnp.asarray(np.stack(rrel + [np.eye(3,
+                dtype=np.float32)] * pad)),
+            rel_t=jnp.asarray(np.stack(trel + [np.zeros(3,
+                np.float32)] * pad)),
+            edge_weight=jnp.asarray(wts + [0.0] * pad, jnp.float32))
+        opt = optimize(g, iterations=15)
+        for i in range(n):
+            out.rotations[i] = np.asarray(opt.rotations[i], np.float32)
+            out.translations[i] = np.asarray(opt.translations[i],
+                                             np.float32)
 
     def _append_fallback(self):
         """Constant-velocity fallback when tracking fails."""

@@ -30,6 +30,10 @@ def main(argv=None):
                    help="ground-truth trajectory (same format)")
     p.add_argument("--ba-interval", type=int, default=0)
     p.add_argument("--ba-window", type=int, default=5)
+    p.add_argument("--loop-closure", action="store_true")
+    p.add_argument("--kf-interval", type=int, default=4)
+    p.add_argument("--loop-min-gap", type=int, default=8)
+    p.add_argument("--loop-min-matches", type=int, default=25)
     p.add_argument("--num-features", type=int, default=2000)
     args = p.parse_args(argv)
 
@@ -53,7 +57,11 @@ def main(argv=None):
     odo = MonocularOdometry(
         SiftConfig(width=w, height=h, num_features=args.num_features),
         fx=fx, fy=fy, cx=cx, cy=cy,
-        ba_interval=args.ba_interval, ba_window=args.ba_window)
+        ba_interval=args.ba_interval, ba_window=args.ba_window,
+        loop_closure=args.loop_closure, kf_interval=args.kf_interval,
+        loop_min_gap=args.loop_min_gap,
+        loop_min_matches=args.loop_min_matches,
+        loop_min_inliers=max(10, args.loop_min_matches * 3 // 4))
     t0 = time.perf_counter()
     for i, f in enumerate(frames):
         odo.process(f)
@@ -63,6 +71,8 @@ def main(argv=None):
     dt = time.perf_counter() - t0
     print(f"processed {len(frames)} frames in {dt:.2f}s "
           f"({len(frames) / dt:.2f} frames/s incl. compile)")
+    if args.loop_closure:
+        print(f"loop closures: {odo.closures}")
 
     poses = odo.result.poses_cam_to_world()
     if args.out:
