@@ -42,22 +42,51 @@ def chained_runner(step: Callable, k: int):
     return jax.jit(run)
 
 
-def measure_ms(step: Callable, x, k_small: int = 4, k_large: int = 24,
-               repeats: int = 3) -> float:
-    """Median per-iteration latency in ms via the two-point K method."""
-    f_small = chained_runner(step, k_small)
-    f_large = chained_runner(step, k_large)
-    float(f_small(x))  # compile
-    float(f_large(x))
+def chained_runner_dynamic(step: Callable):
+    """Like chained_runner but the trip count is a TRACED argument: one
+    compile serves every K (the two-point slope method costs a single
+    XLA compilation — critical for cold-process benchmark runs)."""
 
-    def run(f):
+    def body(_, carry):
+        y, probe = step(carry)
+        return y + probe * 1e-30
+
+    def run(x, k):
+        out = jax.lax.fori_loop(0, k, body, x)
+        _, probe = step(out)
+        return probe
+
+    return jax.jit(run)
+
+
+def measure_ms(step: Callable, x, k_small: int = 4, k_large: int = 24,
+               repeats: int = 3, on_first_estimate: Callable = None) -> float:
+    """Median per-iteration latency in ms via the two-point K method.
+
+    One compiled program (traced trip count).  ``on_first_estimate``,
+    if given, receives a rough per-iteration estimate (wall-clock/K,
+    fixed costs NOT cancelled) as soon as the first timed run finishes —
+    benchmark watchdogs use it as a fallback result."""
+    import jax.numpy as jnp
+
+    f = chained_runner_dynamic(step)
+    ks = jnp.asarray(k_small, jnp.int32)
+    kl = jnp.asarray(k_large, jnp.int32)
+    float(f(x, kl))  # compile + warm-up
+
+    t0 = time.perf_counter()
+    float(f(x, kl))
+    if on_first_estimate is not None:
+        on_first_estimate((time.perf_counter() - t0) * 1e3 / k_large)
+
+    def run(karg):
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(f(x))
+            float(f(x, karg))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_small = run(f_small)
-    t_large = run(f_large)
+    t_large = run(kl)
+    t_small = run(ks)
     return max(t_large - t_small, 1e-9) * 1e3 / (k_large - k_small)

@@ -10,6 +10,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
+# Persistent compilation cache: the suite is compile-dominated (many
+# full-pipeline programs); warm-cache reruns skip all of it.
+from sift_tpu.perf.cache import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np
 import pytest
 
