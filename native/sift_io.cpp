@@ -60,6 +60,12 @@ bool read_int(FILE* f, int* out) {
   return fscanf(f, "%d", out) == 1;
 }
 
+// Upper bound on decoded dimensions: headers are untrusted input, and a
+// giant w*h must fail cleanly instead of throwing bad_alloc across the
+// extern "C" boundary (or overflowing a caller buffer).
+constexpr int kMaxDim = 1 << 16;                    // 65536 px per side
+constexpr size_t kMaxPixels = size_t{1} << 27;      // 134 M px (512 MB f32)
+
 bool decode_pnm(const char* path, DecodedImage* img) {
   FILE* f = fopen(path, "rb");
   if (!f) return false;
@@ -75,7 +81,9 @@ bool decode_pnm(const char* path, DecodedImage* img) {
   }
   int w, h, maxv;
   if (!read_int(f, &w) || !read_int(f, &h) || !read_int(f, &maxv) ||
-      w <= 0 || h <= 0 || maxv <= 0 || maxv > 65535) {
+      w <= 0 || h <= 0 || maxv <= 0 || maxv > 65535 ||
+      w > kMaxDim || h > kMaxDim ||
+      static_cast<size_t>(w) * h > kMaxPixels) {
     fclose(f);
     return false;
   }
@@ -186,7 +194,13 @@ void worker_loop(Loader* L) {
     Frame fr;
     fr.index = idx;
     DecodedImage img;
-    if (decode_pnm(L->paths[idx].c_str(), &img)) {
+    bool decoded = false;
+    try {
+      decoded = decode_pnm(L->paths[idx].c_str(), &img);
+    } catch (const std::bad_alloc&) {
+      decoded = false;  // deliver as a failed frame, don't kill the process
+    }
+    if (decoded) {
       fr.ok = true;
       if (L->out_w > 0 && L->out_h > 0 &&
           (L->out_w != img.width || L->out_h != img.height)) {
@@ -250,8 +264,11 @@ void* sift_io_loader_create(const char** paths, int n_paths, int n_threads,
 }
 
 // Blocks until the next frame (in path order) is ready; returns 0 on
-// success, -2 when exhausted, -1 on decode failure of this frame.
-int sift_io_loader_next(void* handle, float* dst, int* w, int* h) {
+// success, -2 when exhausted, -1 on decode failure of this frame, -3 when
+// the frame exceeds dst_capacity floats (frame skipped; *w/*h report its
+// true dims so the caller can re-allocate and retry via a new loader).
+int sift_io_loader_next(void* handle, float* dst, int64_t dst_capacity,
+                        int* w, int* h) {
   auto* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(L->mu);
   if (L->next_deliver >= static_cast<int>(L->paths.size())) return -2;
@@ -276,7 +293,9 @@ int sift_io_loader_next(void* handle, float* dst, int* w, int* h) {
   if (!fr.ok) return -1;
   *w = fr.width;
   *h = fr.height;
-  memcpy(dst, fr.data.data(), sizeof(float) * fr.width * fr.height);
+  const size_t n = static_cast<size_t>(fr.width) * fr.height;
+  if (static_cast<int64_t>(n) > dst_capacity) return -3;
+  memcpy(dst, fr.data.data(), sizeof(float) * n);
   return 0;
 }
 

@@ -81,6 +81,11 @@ class SiftResult(NamedTuple):
     keypoints: Keypoints
     descriptors: jnp.ndarray  # [num_features, 128] float
     count: jnp.ndarray        # scalar int32 (== keypoints.count())
+    # Pre-orientation-expansion keypoint count (after the first global
+    # compaction).  Capacity-tier saturation must test BOTH counts: the
+    # keypoint-stage compaction can saturate while zero-peak keypoints
+    # keep the final count below the tier.
+    raw_count: jnp.ndarray = np.int32(0)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -67,7 +67,8 @@ class MonocularOdometry:
                  tiers: tuple = (), loop_closure: bool = False,
                  kf_interval: int = 4, loop_min_gap: int = 8,
                  loop_min_matches: int = 25, loop_min_inliers: int = 20,
-                 loop_edge_weight: float = 5.0):
+                 loop_edge_weight: float = 5.0,
+                 loop_max_candidates: int = 8):
         self.detector = SiftDetector(config, tiers=tiers)
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.ratio = ratio
@@ -96,7 +97,11 @@ class MonocularOdometry:
         self.loop_min_matches = loop_min_matches
         self.loop_min_inliers = loop_min_inliers
         self.loop_edge_weight = loop_edge_weight
+        self.loop_max_candidates = loop_max_candidates
         self._keyframes = []      # (fidx, SiftResult, {kpt_idx: landmark})
+        # Per-keyframe global descriptor signature (normalized mean
+        # descriptor) for the O(1)-per-keyframe loop-closure pre-filter.
+        self._kf_sigs: List[np.ndarray] = []
         self.closures: List[tuple] = []   # (kf_fidx, fidx, n_inliers)
 
     def _split_key(self):
@@ -159,6 +164,7 @@ class MonocularOdometry:
         if self.loop_closure and ok:
             if fidx % self.kf_interval == 0 and self._prev_lms:
                 self._keyframes.append((fidx, res, dict(self._prev_lms)))
+                self._kf_sigs.append(self._signature(res))
             self._try_loop_closure(res, fidx)
         return self._pose_mat(-1)
 
@@ -295,10 +301,22 @@ class MonocularOdometry:
         from sift_tpu.geometry.posegraph import PoseGraph, optimize
 
         out = self.result
+        # Candidate pre-filter: rank eligible keyframes by global-signature
+        # similarity (normalized mean descriptor) and run the full matcher
+        # on at most ``loop_max_candidates`` of them — bounds per-frame
+        # closure cost to O(loop_max_candidates) matcher calls instead of
+        # O(keyframes).
+        sig = self._signature(res)
+        eligible = [i for i, (kf_fidx, _, _) in enumerate(self._keyframes)
+                    if fidx - kf_fidx >= self.loop_min_gap]
+        if len(eligible) > self.loop_max_candidates:
+            sims = np.array([float(sig @ self._kf_sigs[i])
+                             for i in eligible])
+            order = np.argsort(-sims)[: self.loop_max_candidates]
+            eligible = [eligible[int(j)] for j in order]
         best = None
-        for kf_fidx, kf_res, kf_lms in self._keyframes:
-            if fidx - kf_fidx < self.loop_min_gap:
-                continue
+        for i in eligible:
+            kf_fidx, kf_res, kf_lms = self._keyframes[i]
             qi, ti = match_pairs(res.descriptors, kf_res.descriptors,
                                  res.keypoints.valid,
                                  kf_res.keypoints.valid, ratio=self.ratio)
@@ -418,6 +436,17 @@ class MonocularOdometry:
             out.translations[f] = np.asarray(ba.translations[i])
         for lm in lms:
             self._points[lm] = np.asarray(ba.points[lmap[lm]])
+
+    @staticmethod
+    def _signature(res) -> np.ndarray:
+        """Global frame signature: L2-normalized mean of valid
+        descriptors.  Cosine similarity between signatures is the
+        loop-closure candidate pre-filter (cheap proxy for match count)."""
+        d = np.asarray(res.descriptors, np.float32)
+        v = np.asarray(res.keypoints.valid)
+        m = d[v].mean(axis=0) if v.any() else np.zeros(d.shape[1], np.float32)
+        n = np.linalg.norm(m)
+        return m / n if n > 0 else m
 
     def _pose_mat(self, idx: int) -> np.ndarray:
         r = self.result.rotations[idx]

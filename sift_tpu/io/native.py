@@ -48,7 +48,7 @@ def _load(build: bool = True):
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.sift_io_loader_create.restype = ctypes.c_void_p
     lib.sift_io_loader_next.argtypes = [
-        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float),
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
     lib.sift_io_loader_next.restype = ctypes.c_int
     lib.sift_io_loader_destroy.argtypes = [ctypes.c_void_p]
@@ -134,10 +134,14 @@ class FrameLoader:
         rc = self._lib.sift_io_loader_next(
             self._handle,
             self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
-            ctypes.byref(w), ctypes.byref(h))
+            self._buf.size, ctypes.byref(w), ctypes.byref(h))
         if rc == -2:
             self.close()
             raise StopIteration
+        if rc == -3:
+            raise IOError(
+                f"frame {w.value}x{h.value} exceeds loader buffer "
+                f"({self._buf.size} floats); pass out_size= to bound frames")
         if rc != 0:
             raise IOError("frame decode failed")
         return self._buf.reshape(-1)[: w.value * h.value] \

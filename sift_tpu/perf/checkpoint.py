@@ -153,8 +153,10 @@ def capture_golden(cfg: SiftConfig, image: np.ndarray, path: str) -> Dict:
 def load_golden(path: str):
     """Load the checkpoint triple (≙ loadCompressed, Serialization.hpp:46-93
     + perf.cu:31-36)."""
+    # allow_pickle stays False: the params file holds only scalar/str
+    # arrays, and checkpoint directories may come from untrusted sources.
     params = dict(np.load(os.path.join(path, PARAMS_FILE),
-                          allow_pickle=True))
+                          allow_pickle=False))
     inputs = dict(np.load(os.path.join(path, INPUT_FILE)))
     expected = dict(np.load(os.path.join(path, EXPECTED_FILE)))
     return params, inputs, expected

@@ -100,13 +100,21 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         # a PACKED (mag, ori) slab — one gather per window; orientation
         # keeps the full-precision pair (its 1-degree parity gate is
         # sensitive to quantization).
+        # The 128-lane shifted-copy window contract only holds for patch
+        # radius <= 47 (ops/flatpyr.py copy-selection bound); legal
+        # configs with larger sigma fall back to unshifted 256-lane
+        # windows instead of silently dropping patch-edge pixels.
+        from sift_tpu.ops.descriptor import max_descr_radius
+        from sift_tpu.ops.orientation import max_ori_radius
+        fits_128 = max(max_descr_radius(cfg), max_ori_radius(cfg)) <= 47
+        shift = shift_copies if fits_128 else (lambda p: p)
         padded_gauss = pad_pyramid(gauss)
-        gradf = shift_copies(dense_gradients_packed(padded_gauss))
+        gradf = shift(dense_gradients_packed(padded_gauss))
         if cfg.orientation_source == "gaussian":
             o_mag, o_ori = dense_gradients_padded(padded_gauss)
         else:
             o_mag, o_ori = dense_gradients_padded(pad_pyramid(dogs))
-        o_mag, o_ori = shift_copies(o_mag), shift_copies(o_ori)
+        o_mag, o_ori = shift(o_mag), shift(o_ori)
 
         hist = O.orientation_histograms_flat(
             o_mag, o_ori, koct, kx, ky, klyr, ksize, val, cfg)
@@ -149,7 +157,8 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
             kps = Keypoints(*[padf(f) for f in kps])
             desc = padf(desc)
         return SiftResult(keypoints=kps, descriptors=desc,
-                          count=kps.count().astype(jnp.int32))
+                          count=kps.count().astype(jnp.int32),
+                          raw_count=jnp.sum(val.astype(jnp.int32)))
 
     return detect
 
@@ -183,11 +192,15 @@ class SiftDetector:
         self.last_result: Optional[SiftResult] = None  # frame t
 
     def warm_up(self):
-        """Compile (≙ gpuWarmUpAndAllocate + graph capture).  The scalar
-        host readback guarantees device completion even on transports
-        where block_until_ready acknowledges dispatch early."""
+        """Compile every program — full capacity AND all tiers — so no
+        frame inside a tracking loop pays a mid-sequence compile
+        (≙ gpuWarmUpAndAllocate + graph capture).  The scalar host
+        readback guarantees device completion even on transports where
+        block_until_ready acknowledges dispatch early."""
         img = jnp.zeros((self.config.height, self.config.width), jnp.float32)
         res = self._fn(img)
+        for fn in self._tier_fns.values():
+            fn(img)
         float(jnp.sum(res.descriptors[0]))
         return True
 
@@ -213,9 +226,12 @@ class SiftDetector:
             result = self._fn(image)
         else:
             result = self._tier_fns[tier](image)
-            # Saturated tier -> the compaction may have truncated; re-run
-            # at full capacity for exact results.
-            if int(result.count) >= tier:
+            # Saturated tier -> a compaction may have truncated; re-run at
+            # full capacity for exact results.  Both compactions (keypoint
+            # stage and post-expansion) run at the tier, so test both
+            # counts — the final count alone can sit below the tier while
+            # the keypoint-stage compaction truncated.
+            if max(int(result.count), int(result.raw_count)) >= tier:
                 result = self._fn(image)
         if self.tiers:
             # Host count readback steers the next frame's tier (the only
