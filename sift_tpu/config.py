@@ -78,7 +78,9 @@ class SiftConfig:
     # in-kernel hardcoded test (sift_func/Match.cu:171-175).
     match_ratio: float = 0.8
     # Keypoint-window extraction: "pallas" (aligned DMA kernel, TPU only),
-    # "xla" (vmapped dynamic_slice), or "auto" (pallas iff on TPU).
+    # "xla" (vmapped dynamic_slice), "auto" (pallas iff on TPU), or
+    # "pallas_interpret" (fused Pallas kernels in interpreter mode — slow;
+    # CPU testing of the production TPU path only).
     gather_impl: str = "auto"
 
     def __post_init__(self):
@@ -90,8 +92,10 @@ class SiftConfig:
             raise ValueError("blur_impl must be 'matmul' or 'conv'")
         if self.downsample not in ("nearest", "bilinear"):
             raise ValueError("downsample must be 'nearest' or 'bilinear'")
-        if self.gather_impl not in ("auto", "pallas", "xla"):
-            raise ValueError("gather_impl must be 'auto', 'pallas' or 'xla'")
+        if self.gather_impl not in ("auto", "pallas", "xla",
+                                    "pallas_interpret"):
+            raise ValueError("gather_impl must be 'auto', 'pallas', "
+                             "'xla' or 'pallas_interpret'")
 
     @property
     def num_octaves(self) -> int:

@@ -1,0 +1,357 @@
+"""Fused Pallas TPU kernels for the per-keypoint SIFT stages.
+
+THE hot compute of detect+compute (round-1 profile: orientation 6.4 ms +
+descriptor 8.5 ms + gradient slabs 1.2 ms of a 20 ms frame at 752x480).
+The XLA formulations (ops/orientation.py, ops/descriptor.py) materialize
+[K, P, bins]-shaped one-hot / hat operands in HBM — multi-GB of traffic
+per frame.  These kernels instead DMA each keypoint's raw GAUSSIAN window
+(rows x 128 lanes, origin-aligned) from the padded pyramid slab straight
+into VMEM and do everything on-chip:
+
+* gradients (dx/dy/mag/atan2) recomputed in-kernel from the pixel window
+  — full f32 precision, and the three dense gradient slabs (mag, ori,
+  packed) of the XLA path are never built;
+* Gaussian window weights as separable row/col vectors (rows + lanes
+  transcendentals, not rows*lanes);
+* histogram accumulation as dense hat/one-hot products + reductions in
+  VMEM (no atomics — the reference's __syncwarp/atomicAdd discipline,
+  sift_func/SiftOps.cu:299-325,537-601, is replaced by construction);
+* double-buffered window DMA overlapped with compute.
+
+The numerical contracts match ops/orientation.py / ops/descriptor.py
+exactly (same masks, same hat identities); tests gate the two paths
+against each other in interpret mode.
+
+Window contract: origins come from the 4-copy lane-shifted slab
+(ops/flatpyr.shift_copies of the RAW Gaussian pyramid): a patch of
+radius r <= 47 plus its 1-px gradient halo always fits 128 lanes.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from sift_tpu.config import (SIFT_DESCR_HIST_BINS, SIFT_DESCR_WIDTH,
+                             SIFT_ORI_HIST_BINS)
+
+LANES = 128
+SUBLANE = 8
+_D = SIFT_DESCR_WIDTH
+_NBD = SIFT_DESCR_HIST_BINS
+_NBO = SIFT_ORI_HIST_BINS
+_RAD2DEG = 180.0 / math.pi
+
+# f32 param-row layout shared by both kernels (desc uses all 12 columns):
+#  0 dy0 (ys0-cy)  1 dx0 (xs_abs-cx)  2 ylo (1-py)  3 yhi (h-2-py)
+#  4 xlo (1-px)    5 xhi (w-2-px)     6 es          7 radius
+#  8 valid          9 cos_t           10 sin_t       11 ang
+NPAR = 12
+
+
+def _atan2_deg(dy, dx):
+    """Polynomial atan2 in degrees, [-180, 180] (Mosaic has no atan2
+    lowering).  Octant reduction + odd degree-15 minimax polynomial for
+    atan on [0, 1]: |err| <= 3.8e-8 rad (2.2e-6 deg) — at the f32 noise
+    floor, so histogram-bin decisions match the dense-gradient path's own
+    jnp.arctan2 rounding (a pixel flips bins only when its orientation
+    sits within f32 eps of a 10-degree boundary, same as the flat path).
+    atan2(0, 0) -> 0 with no NaN (zero-magnitude pixels must not poison
+    the weighted sums)."""
+    ax = jnp.abs(dx)
+    ay = jnp.abs(dy)
+    mx = jnp.maximum(ax, ay)
+    z = jnp.minimum(ax, ay) / jnp.maximum(mx, 1e-30)
+    z2 = z * z
+    p = z * (0.9999993357463199
+             + z2 * (-0.3332986151078535
+                     + z2 * (0.19946574511230034
+                             + z2 * (-0.13908676324191868
+                                     + z2 * (0.09642322342441606
+                                             + z2 * (-0.05591409699715592
+                                                     + z2 * (0.02186422353328521
+                                                             + z2 * -0.004054926663980925)))))))
+    r = jnp.where(ay > ax, (math.pi / 2) - p, p)
+    r = jnp.where(dx < 0, math.pi - r, r)
+    return jnp.where(dy < 0, -r, r) * _RAD2DEG
+
+
+def _grad_mag_ori(win):
+    """Gradients from the raw pixel window (rim lanes/rows garbage by
+    contract — always masked by the bounds columns of the params).
+    pltpu.roll requires non-negative shifts: shift by size-1 == -1."""
+    rows = win.shape[0]
+    dx = pltpu.roll(win, LANES - 1, 1) - pltpu.roll(win, 1, 1)
+    dy = pltpu.roll(win, 1, 0) - pltpu.roll(win, rows - 1, 0)
+    mag = jnp.sqrt(dx * dx + dy * dy)
+    ori = _atan2_deg(dy, dx)                      # [-180, 180]
+    return mag, ori
+
+
+def _axis_vectors(par, j, rows):
+    """Separable per-row/per-col offset, Gaussian-weight and bounds-mask
+    vectors.  Returns (offy [rows,1], offx [1,LANES], wy, wx)."""
+    dy0 = par[j, 0]
+    dx0 = par[j, 1]
+    es = par[j, 6]
+    rad = par[j, 7]
+    offy = dy0 + jax.lax.broadcasted_iota(
+        jnp.int32, (rows, 1), 0).astype(jnp.float32)
+    offx = dx0 + jax.lax.broadcasted_iota(
+        jnp.int32, (1, LANES), 1).astype(jnp.float32)
+    my = ((offy >= par[j, 2]) & (offy <= par[j, 3])
+          & (jnp.abs(offy) <= rad))
+    mx = ((offx >= par[j, 4]) & (offx <= par[j, 5])
+          & (jnp.abs(offx) <= rad))
+    wy = jnp.where(my, jnp.exp(offy * offy * es), 0.0) * par[j, 8]
+    wx = jnp.where(mx, jnp.exp(offx * offx * es), 0.0)
+    return offy, offx, wy, wx
+
+
+def _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, slot,
+               block, block_k, rows, n_kpts):
+    dmas = []
+    for j in range(block_k):
+        k = jnp.minimum(block * block_k + j, n_kpts - 1)
+        ys = pl.multiple_of(ys_ref[k], SUBLANE)
+        xs = pl.multiple_of(xs_ref[k], LANES)
+        dma = pltpu.make_async_copy(
+            src_ref.at[lidx_ref[k], pl.ds(ys, rows), pl.ds(xs, LANES)],
+            wins.at[slot, j],
+            sems.at[slot, j])
+        dma.start()
+        dmas.append(dma)
+    return dmas
+
+
+def _wait_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, slot,
+              block, block_k, rows, n_kpts):
+    for j in range(block_k):
+        k = jnp.minimum(block * block_k + j, n_kpts - 1)
+        ys = pl.multiple_of(ys_ref[k], SUBLANE)
+        xs = pl.multiple_of(xs_ref[k], LANES)
+        pltpu.make_async_copy(
+            src_ref.at[lidx_ref[k], pl.ds(ys, rows), pl.ds(xs, LANES)],
+            wins.at[slot, j],
+            sems.at[slot, j]).wait()
+
+
+def _pad_slab(values, rows: int):
+    """Slabs smaller than one window (tiny octave-heavy configs) are
+    padded so clamped window origins stay in-bounds."""
+    hp, wp = values.shape[-2:]
+    hp2 = -(-max(hp, rows) // SUBLANE) * SUBLANE
+    wp2 = -(-max(wp, LANES) // LANES) * LANES
+    if hp2 != hp or wp2 != wp:
+        values = jnp.pad(values, ((0, 0), (0, hp2 - hp), (0, wp2 - wp)))
+    return values
+
+
+# ---------------------------------------------------------------------------
+# Orientation: 36-bin Gaussian-weighted gradient histograms
+# ---------------------------------------------------------------------------
+
+
+def _ori_kernel(lidx_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
+                wins, sems, *,
+                rows: int, block_k: int, n_kpts: int):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, 0, 0,
+                   block_k, rows, n_kpts)
+
+    @pl.when(i + 1 < nb)
+    def _():
+        _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems,
+                   (i + 1) % 2, i + 1, block_k, rows, n_kpts)
+
+    _wait_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
+              block_k, rows, n_kpts)
+
+    for j in range(block_k):
+        win = wins[i % 2, j]
+        mag, ori = _grad_mag_ori(win)
+        _, _, wy, wx = _axis_vectors(par_ref, j, rows)
+        contrib = mag * wy * wx                    # [rows, LANES]
+        # bin = round(ori * 36/360), wrapped (ops/orientation.py:113-115).
+        b = jnp.round(ori * (_NBO / 360.0))
+        b = jnp.where(b >= _NBO, b - _NBO, b)
+        b = jnp.where(b < 0, b + _NBO, b)
+        # Sublane-reduce per bin (cheap), then ONE lane reduction over the
+        # stacked [36, LANES] matrix — lane reductions are ~7x the cost of
+        # sublane reductions and must not run once per bin.
+        cols = [
+            jnp.sum(jnp.where(b == float(bi), contrib, 0.0),
+                    axis=0, keepdims=True)          # [1, LANES]
+            for bi in range(_NBO)
+        ]
+        m = jnp.concatenate(cols, axis=0)           # [36, LANES]
+        out_ref[j, :] = jnp.sum(m, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("rows", "block_k", "interpret"))
+def orientation_hist_fused(values, lidx, ys0, xs0, par, rows: int,
+                           block_k: int = 8,
+                           interpret: bool = False):
+    """values: [L, Hp, Wp] f32 RAW Gaussian (or DoG) slab with lane-shift
+    copies; lidx/ys0/xs0: [K] i32 aligned window origins;
+    par: [K, NPAR] f32 (see layout above).  Returns [K, 36] f32 raw
+    histograms."""
+    values = _pad_slab(values, rows)
+    k = lidx.shape[0]
+    kp = -(-k // block_k) * block_k
+    if kp != k:
+        pad = kp - k
+        lidx = jnp.concatenate([lidx, jnp.zeros((pad,), lidx.dtype)])
+        ys0 = jnp.concatenate([ys0, jnp.zeros((pad,), ys0.dtype)])
+        xs0 = jnp.concatenate([xs0, jnp.zeros((pad,), xs0.dtype)])
+        par = jnp.concatenate(
+            [par, jnp.zeros((pad, NPAR), par.dtype)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(kp // block_k,),
+        in_specs=[
+            pl.BlockSpec((block_k, NPAR), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block_k, _NBO), lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, block_k)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_ori_kernel, rows=rows, block_k=block_k,
+                          n_kpts=kp),
+        out_shape=jax.ShapeDtypeStruct((kp, _NBO), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(lidx, ys0, xs0, par, values)
+    return out[:k]
+
+
+# ---------------------------------------------------------------------------
+# Descriptor: rotated 4x4x8 trilinear histogram
+# ---------------------------------------------------------------------------
+
+
+def _desc_kernel(lidx_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
+                 wins, sems, *,
+                 rows: int, block_k: int, n_kpts: int):
+    i = pl.program_id(0)
+    nb = pl.num_programs(0)
+
+    @pl.when(i == 0)
+    def _():
+        _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, 0, 0,
+                   block_k, rows, n_kpts)
+
+    @pl.when(i + 1 < nb)
+    def _():
+        _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems,
+                   (i + 1) % 2, i + 1, block_k, rows, n_kpts)
+
+    _wait_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
+              block_k, rows, n_kpts)
+
+    for j in range(block_k):
+        win = wins[i % 2, j]
+        mag, ori = _grad_mag_ori(win)
+        offy, offx, wy, wx = _axis_vectors(par_ref, j, rows)
+        cos_t = par_ref[j, 9]
+        sin_t = par_ref[j, 10]
+        ang = par_ref[j, 11]
+
+        c_rot = offx * cos_t - offy * sin_t        # [rows, LANES]
+        r_rot = offx * sin_t + offy * cos_t
+        rbin = r_rot + (_D / 2 - 0.5)
+        cbin = c_rot + (_D / 2 - 0.5)
+        inb = (rbin > -1.0) & (rbin < float(_D)) \
+            & (cbin > -1.0) & (cbin < float(_D))
+        mag_w = jnp.where(inb, mag * (wy * wx), 0.0)
+
+        # ori in [-180,180]; the mod folds it into [0, NBD).
+        ob = (ori - ang) * (_NBD / 360.0)
+        ob = ob - jnp.floor(ob * (1.0 / _NBD)) * _NBD
+        vo = []
+        for o in range(_NBD):
+            od = jnp.abs(ob - float(o))
+            vo.append(jnp.maximum(0.0, 1.0 - jnp.minimum(od, _NBD - od))
+                      * mag_w)
+
+        hr = [jnp.maximum(0.0, 1.0 - jnp.abs(rbin - float(r)))
+              for r in range(_D)]
+        hc = [jnp.maximum(0.0, 1.0 - jnp.abs(cbin - float(c)))
+              for c in range(_D)]
+
+        # out[(r*D+c)*NBD+o] = sum(hr_r * hc_c * vo_o): sublane-reduce
+        # each bin to a [1, LANES] partial (cheap), stack all 128 into one
+        # [128, LANES] matrix, then ONE lane reduction finishes every bin
+        # (lane reductions are ~7x sublane reductions — never per-bin).
+        cols = []
+        for r in range(_D):
+            for c in range(_D):
+                t = hr[r] * hc[c]
+                for o in range(_NBD):
+                    cols.append(jnp.sum(t * vo[o], axis=0, keepdims=True))
+        m = jnp.concatenate(cols, axis=0)           # [128, LANES]
+        out_ref[j, :] = jnp.sum(m, axis=1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("rows", "block_k", "interpret"))
+def descriptor_fused(values, lidx, ys0, xs0, par, rows: int,
+                     block_k: int = 8,
+                     interpret: bool = False):
+    """values/idx/par as orientation_hist_fused (par additionally carries
+    cos_t, sin_t, ang).  Returns [K, 128] f32 raw descriptor histograms
+    (pre-normalization, cell-major r, c, o — finalize_descriptor order)."""
+    values = _pad_slab(values, rows)
+    k = lidx.shape[0]
+    kp = -(-k // block_k) * block_k
+    if kp != k:
+        pad = kp - k
+        lidx = jnp.concatenate([lidx, jnp.zeros((pad,), lidx.dtype)])
+        ys0 = jnp.concatenate([ys0, jnp.zeros((pad,), ys0.dtype)])
+        xs0 = jnp.concatenate([xs0, jnp.zeros((pad,), xs0.dtype)])
+        par = jnp.concatenate(
+            [par, jnp.zeros((pad, NPAR), par.dtype)])
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(kp // block_k,),
+        in_specs=[
+            pl.BlockSpec((block_k, NPAR), lambda i, *_: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((block_k, _D * _D * _NBD),
+                               lambda i, *_: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, block_k, rows, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, block_k)),
+        ],
+    )
+    out = pl.pallas_call(
+        functools.partial(_desc_kernel, rows=rows, block_k=block_k,
+                          n_kpts=kp),
+        out_shape=jax.ShapeDtypeStruct((kp, _D * _D * _NBD), jnp.float32),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(lidx, ys0, xs0, par, values)
+    return out[:k]

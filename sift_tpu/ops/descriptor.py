@@ -161,6 +161,64 @@ def _descriptor_hist(grad, octave, px, py, layer, scl, ang, valid,
                       preferred_element_type=jnp.float32)      # [Kc,D,D,NB]
 
 
+def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
+                              valid, cfg: SiftConfig,
+                              interpret: bool = False):
+    """Fused-Pallas equivalent of ``compute_descriptors_flat``: ONE kernel
+    DMAs each keypoint's raw Gaussian window and accumulates the rotated
+    4x4x8 trilinear histogram in VMEM (kernels/fused_stages.py) — no
+    gradient slabs, no HBM hat/one-hot operands.  ``slab``: shift-copied
+    RAW Gaussian pyramid.  Returns (desc, nrm2) like the flat path."""
+    from sift_tpu.kernels.fused_stages import NPAR, descriptor_fused
+    from sift_tpu.kernels.window_gather import window_rows
+    from sift_tpu.ops.flatpyr import aligned_origins_128
+
+    inv = jnp.exp2(-octave.astype(jnp.float32))
+    px = jnp.round(x * inv).astype(jnp.int32)
+    py = jnp.round(y * inv).astype(jnp.int32)
+    scl = size * 0.5 * inv
+    ang = 360.0 - angle
+    ang = jnp.where(jnp.abs(ang - 360.0) < 1e-6, 0.0, ang)
+
+    hist_width = SIFT_DESCR_SCL_FCTR * scl
+    arad = ang * (math.pi / 180.0)
+    inv_hw = 1.0 / jnp.maximum(hist_width, 1e-12)
+    cos_t = jnp.cos(arad) * inv_hw
+    sin_t = jnp.sin(arad) * inv_hw
+    es = inv_hw * inv_hw * (-1.0 / (_D * _D * 0.5))
+
+    rmax = max_descr_radius(cfg)
+    rows = window_rows(rmax)
+    lidx, ys0, xs0, xs_abs = aligned_origins_128(
+        slab, octave, layer, py, px, rmax, rows)
+    h, w = slab.octave_geometry(octave)
+    diag = jnp.sqrt((h * h + w * w).astype(jnp.float32))
+    radius = jnp.minimum(
+        jnp.round(hist_width * math.sqrt(2.0) * (_D + 1) * 0.5), diag)
+    hf = h.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    pyf = py.astype(jnp.float32)
+    pxf = px.astype(jnp.float32)
+
+    k = x.shape[0]
+    par = jnp.zeros((k, NPAR), jnp.float32)
+    par = par.at[:, 0].set((ys0 - py).astype(jnp.float32))
+    par = par.at[:, 1].set((xs_abs - px).astype(jnp.float32))
+    par = par.at[:, 2].set(1.0 - pyf)
+    par = par.at[:, 3].set(hf - 2.0 - pyf)
+    par = par.at[:, 4].set(1.0 - pxf)
+    par = par.at[:, 5].set(wf - 2.0 - pxf)
+    par = par.at[:, 6].set(es)
+    par = par.at[:, 7].set(radius)
+    par = par.at[:, 8].set(valid.astype(jnp.float32))
+    par = par.at[:, 9].set(cos_t)
+    par = par.at[:, 10].set(sin_t)
+    par = par.at[:, 11].set(ang)
+    hist = descriptor_fused(slab.values, lidx, ys0, xs0, par, rows,
+                            interpret=interpret)
+    return finalize_descriptor(hist)
+
+
 def compute_descriptors(block: jnp.ndarray, x, y, layer, size, angle, valid,
                         octave: int, cfg: SiftConfig, chunk: int = 512):
     """Single-octave wrapper (golden-replay API parity): block [D, H, W]

@@ -80,6 +80,36 @@ def shift_copies(p: PaddedPyramid, n: int = 4) -> PaddedPyramid:
     return p._replace(values=jnp.concatenate(outs, axis=0), copies=n)
 
 
+def aligned_origins_128(src: PaddedPyramid, octave, layer, cy, cx,
+                        radius: int, rows: int):
+    """Aligned 128-lane window origins on a shift-copied slab (the fused
+    Pallas kernels' DMA contract; same copy-selection math as
+    ``_keypoint_windows``).  Returns (lidx, ys0, xs0, xs_abs): slab layer
+    index, aligned row/lane origins, and the original-image x of lane 0.
+
+    Requires src.copies >= 2 and patch radius + halo within
+    128 - 128//copies lanes (copies=4: radius <= 47)."""
+    from sift_tpu.kernels.window_gather import SUBLANE
+
+    assert src.copies > 1, "aligned_origins_128 needs a shift-copied slab"
+    lanes = 128
+    n_total = src.values.shape[0] // src.copies
+    step = lanes // src.copies
+    hp, wp = src.values.shape[-2:]
+    lrel = octave.astype(jnp.int32) * src.layers + layer.astype(jnp.int32)
+    m = radius + 1
+    q = jnp.maximum((cx - m) // step, 0)
+    copy = q % src.copies
+    al = (q // src.copies) * lanes
+    al = jnp.minimum(al, wp - lanes).astype(jnp.int32)
+    lidx = copy * n_total + lrel
+    ys0 = jnp.minimum((cy - m) // SUBLANE * SUBLANE,
+                      -(-max(hp, rows) // SUBLANE) * SUBLANE - rows)
+    ys0 = jnp.maximum(ys0, 0).astype(jnp.int32)
+    xs_abs = al + copy * step
+    return lidx, ys0, al, xs_abs
+
+
 def resolve_gather_impl(impl: str) -> str:
     """"auto" -> "pallas" on TPU backends, "xla" elsewhere."""
     if impl != "auto":

@@ -105,19 +105,35 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         # configs with larger sigma fall back to unshifted 256-lane
         # windows instead of silently dropping patch-edge pixels.
         from sift_tpu.ops.descriptor import max_descr_radius
+        from sift_tpu.ops.flatpyr import resolve_gather_impl
         from sift_tpu.ops.orientation import max_ori_radius
         fits_128 = max(max_descr_radius(cfg), max_ori_radius(cfg)) <= 47
-        shift = shift_copies if fits_128 else (lambda p: p)
-        padded_gauss = pad_pyramid(gauss)
-        gradf = shift(dense_gradients_packed(padded_gauss))
-        if cfg.orientation_source == "gaussian":
-            o_mag, o_ori = dense_gradients_padded(padded_gauss)
-        else:
-            o_mag, o_ori = dense_gradients_padded(pad_pyramid(dogs))
-        o_mag, o_ori = shift(o_mag), shift(o_ori)
+        impl = resolve_gather_impl(cfg.gather_impl)
+        fused = fits_128 and impl in ("pallas", "pallas_interpret")
+        interp = impl == "pallas_interpret"
 
-        hist = O.orientation_histograms_flat(
-            o_mag, o_ori, koct, kx, ky, klyr, ksize, val, cfg)
+        if fused:
+            # Fused-Pallas path (TPU): the kernels DMA RAW pixel windows
+            # and compute gradients + histograms in VMEM — no dense
+            # gradient slabs at all (kernels/fused_stages.py).
+            slab_g = shift_copies(pad_pyramid(gauss))
+            ori_slab = slab_g if cfg.orientation_source == "gaussian" \
+                else shift_copies(pad_pyramid(dogs))
+            hist = O.orientation_histograms_fused(
+                ori_slab, koct, kx, ky, klyr, ksize, val, cfg,
+                interpret=interp)
+        else:
+            shift = shift_copies if fits_128 else (lambda p: p)
+            padded_gauss = pad_pyramid(gauss)
+            gradf = shift(dense_gradients_packed(padded_gauss))
+            if cfg.orientation_source == "gaussian":
+                o_mag, o_ori = dense_gradients_padded(padded_gauss)
+            else:
+                o_mag, o_ori = dense_gradients_padded(pad_pyramid(dogs))
+            o_mag, o_ori = shift(o_mag), shift(o_ori)
+            hist = O.orientation_histograms_flat(
+                o_mag, o_ori, koct, kx, ky, klyr, ksize, val, cfg)
+
         angles, peaks = O.orientation_peaks(hist, val, cfg)
 
         # Expansion: up to 36 oriented copies per keypoint
@@ -135,9 +151,14 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
             angle=jnp.take(angles.reshape(-1), eidx),
             valid=evalid)
 
-        desc, nrm2 = D.compute_descriptors_flat(
-            gradf, kps.octave, kps.x, kps.y, kps.layer, kps.size,
-            kps.angle, kps.valid, cfg)
+        if fused:
+            desc, nrm2 = D.compute_descriptors_fused(
+                slab_g, kps.octave, kps.x, kps.y, kps.layer, kps.size,
+                kps.angle, kps.valid, cfg, interpret=interp)
+        else:
+            desc, nrm2 = D.compute_descriptors_flat(
+                gradf, kps.octave, kps.x, kps.y, kps.layer, kps.size,
+                kps.angle, kps.valid, cfg)
         desc = D.quantize_descriptor(desc, nrm2, quant_mode)
         desc = jnp.where(evalid[:, None], desc, 0.0)
 

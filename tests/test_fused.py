@@ -1,0 +1,108 @@
+"""Fused-Pallas kernel parity (kernels/fused_stages.py, interpret mode).
+
+The production TPU path computes orientation histograms and descriptors
+inside ONE Pallas kernel per stage (raw-window DMA + in-VMEM gradients and
+histogram accumulation).  These tests gate that path — run through the
+Pallas interpreter on CPU — against the flat XLA formulations, which are
+themselves OpenCV-gated by test_pipeline.py.  Together the two hops give
+the TPU path OpenCV parity without TPU hardware in CI (the strategy the
+reference applies with its HostInterface replay, interface/HostInterface.cu).
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sift_tpu.config import SiftConfig
+from sift_tpu.core.types import build_plan
+from sift_tpu.ops import descriptor as D
+from sift_tpu.ops import orientation as O
+from sift_tpu.ops.flatpyr import (dense_gradients_packed,
+                                  dense_gradients_padded, pad_pyramid,
+                                  shift_copies)
+from sift_tpu.pipeline.detector import build_detect_fn
+
+
+@pytest.fixture(scope="module")
+def fused_setup():
+    rng = np.random.default_rng(0)
+    cfg = SiftConfig(width=320, height=240, gather_impl="xla")
+    L = cfg.num_octave_layers + 3
+    blocks = []
+    h, w = 240, 320
+    for o in range(3):
+        blocks.append(jnp.asarray(
+            rng.normal(100, 40, (L, h >> o, w >> o)).astype(np.float32)))
+
+    gauss = pad_pyramid(blocks)
+    slab = shift_copies(gauss)
+
+    K = 48
+    octv = rng.integers(0, 3, K).astype(np.int32)
+    hs = np.array([240, 120, 60])[octv]
+    ws = np.array([320, 160, 80])[octv]
+    px = rng.uniform(2, ws - 3)
+    py = rng.uniform(2, hs - 3)
+    kp = dict(
+        octave=jnp.asarray(octv),
+        x=jnp.asarray(px * (2.0 ** octv), jnp.float32),
+        y=jnp.asarray(py * (2.0 ** octv), jnp.float32),
+        layer=jnp.asarray(rng.integers(1, L - 2, K), jnp.int32),
+        size=jnp.asarray(rng.uniform(1.6, 6.0, K) * (2.0 ** octv),
+                         jnp.float32),
+        angle=jnp.asarray(rng.uniform(0, 360, K), jnp.float32),
+        valid=jnp.asarray(rng.uniform(0, 1, K) > 0.1),
+    )
+    return cfg, gauss, slab, kp
+
+
+def test_orientation_fused_matches_flat(fused_setup):
+    cfg, gauss, slab, kp = fused_setup
+    o_mag, o_ori = dense_gradients_padded(gauss)
+    o_mag, o_ori = shift_copies(o_mag), shift_copies(o_ori)
+    h_flat = O.orientation_histograms_flat(
+        o_mag, o_ori, kp["octave"], kp["x"], kp["y"], kp["layer"],
+        kp["size"], kp["valid"], cfg)
+    h_fused = O.orientation_histograms_fused(
+        slab, kp["octave"], kp["x"], kp["y"], kp["layer"],
+        kp["size"], kp["valid"], cfg, interpret=True)
+    a, b = np.asarray(h_flat), np.asarray(h_fused)
+    # f32 accumulation-order noise only.
+    assert np.max(np.abs(a - b) / (np.abs(a) + 1e-3)) < 1e-4
+
+
+def test_descriptor_fused_matches_flat(fused_setup):
+    cfg, gauss, slab, kp = fused_setup
+    gradp = shift_copies(dense_gradients_packed(gauss))
+    d_flat, n_flat = D.compute_descriptors_flat(
+        gradp, kp["octave"], kp["x"], kp["y"], kp["layer"], kp["size"],
+        kp["angle"], kp["valid"], cfg)
+    d_fused, n_fused = D.compute_descriptors_fused(
+        slab, kp["octave"], kp["x"], kp["y"], kp["layer"], kp["size"],
+        kp["angle"], kp["valid"], cfg, interpret=True)
+    qf = np.asarray(D.quantize_descriptor(d_flat, n_flat, "opencv"))
+    qp = np.asarray(D.quantize_descriptor(d_fused, n_fused, "opencv"))
+    # The flat path reads 10/14-bit packed gradients; fused recomputes
+    # full-precision gradients in-kernel.  The reference's own descriptor
+    # tolerance is +-1 quantized unit (HostInterface.cu:369-376).
+    diff = np.abs(qf - qp)
+    assert diff.max() <= 1.0
+    assert (diff > 0).mean() < 0.1
+
+
+def test_detector_fused_end_to_end(test_image):
+    """Full pipeline: production fused path (interpret) == flat path."""
+    mk = lambda gi: SiftConfig(width=320, height=240, num_features=512,
+                               gather_impl=gi)
+    flat = build_detect_fn(build_plan(mk("xla")))
+    fused = build_detect_fn(build_plan(mk("pallas_interpret")))
+    img = jnp.asarray(test_image, jnp.float32)
+    rf = flat(img)
+    rp = fused(img)
+    assert int(rf.count) == int(rp.count) > 50
+    n = int(rf.count)
+    np.testing.assert_allclose(np.asarray(rf.keypoints.x[:n]),
+                               np.asarray(rp.keypoints.x[:n]), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(rf.keypoints.angle[:n]),
+                               np.asarray(rp.keypoints.angle[:n]), atol=0.05)
+    dd = np.abs(np.asarray(rf.descriptors[:n]) - np.asarray(rp.descriptors[:n]))
+    assert dd.max() <= 1.0
