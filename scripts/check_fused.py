@@ -7,9 +7,12 @@ import numpy as np
 import jax.numpy as jnp
 
 from sift_tpu.config import SiftConfig
+from sift_tpu.kernels.window_gather import window_rows
+from sift_tpu.ops.descriptor import max_descr_radius
 from sift_tpu.ops.flatpyr import (dense_gradients_packed,
                                   dense_gradients_padded, pad_pyramid,
-                                  shift_copies)
+                                  shift_copies, stack_pyramid)
+from sift_tpu.ops.orientation import max_ori_radius
 from sift_tpu.ops import descriptor as D
 from sift_tpu.ops import orientation as O
 
@@ -25,7 +28,8 @@ for o in range(3):
         rng.normal(100, 40, (L, h >> o, w >> o)).astype(np.float32)))
 
 gauss = pad_pyramid(blocks)
-slab = shift_copies(gauss)
+rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
+slab = stack_pyramid(blocks, extra_rows=window_rows(rmax))
 gradp = shift_copies(dense_gradients_packed(gauss))
 o_mag, o_ori = dense_gradients_padded(gauss)
 o_mag, o_ori = shift_copies(o_mag), shift_copies(o_ori)

@@ -22,9 +22,14 @@ The numerical contracts match ops/orientation.py / ops/descriptor.py
 exactly (same masks, same hat identities); tests gate the two paths
 against each other in interpret mode.
 
-Window contract: origins come from the 4-copy lane-shifted slab
-(ops/flatpyr.shift_copies of the RAW Gaussian pyramid): a patch of
-radius r <= 47 plus its 1-px gradient halo always fits 128 lanes.
+Window contract: the source is a row-STACKED raw pyramid (ONE copy,
+ops/flatpyr.stack_pyramid — every (octave, layer) plane at natural
+height).  Each keypoint DMAs a rows x 256 block at an 8-row/128-lane
+aligned origin, then a dynamic in-VMEM lane roll (pltpu.roll) brings the
+patch to the window's first 128 lanes; compute runs on 128 lanes.  A
+patch of radius r <= 62 plus its 1-px gradient halo always fits.  This
+replaces the earlier 4x lane-shifted slab copies — same aligned-DMA
+guarantee at 1/4 the HBM footprint and no per-frame copy writes.
 """
 
 from __future__ import annotations
@@ -41,17 +46,18 @@ from sift_tpu.config import (SIFT_DESCR_HIST_BINS, SIFT_DESCR_WIDTH,
                              SIFT_ORI_HIST_BINS)
 
 LANES = 128
+DMA_LANES = 256
 SUBLANE = 8
 _D = SIFT_DESCR_WIDTH
 _NBD = SIFT_DESCR_HIST_BINS
 _NBO = SIFT_ORI_HIST_BINS
 _RAD2DEG = 180.0 / math.pi
 
-# f32 param-row layout shared by both kernels (desc uses all 12 columns):
-#  0 dy0 (ys0-cy)  1 dx0 (xs_abs-cx)  2 ylo (1-py)  3 yhi (h-2-py)
-#  4 xlo (1-px)    5 xhi (w-2-px)     6 es          7 radius
-#  8 valid          9 cos_t           10 sin_t       11 ang
-NPAR = 12
+# f32 param-row layout shared by both kernels (desc uses all 13 columns):
+#  0 dy0 (win row0 - cy)  1 dx0 (win lane0 - cx)  2 ylo (1-py)
+#  3 yhi (h-2-py)  4 xlo (1-px)  5 xhi (w-2-px)   6 es  7 radius
+#  8 valid  9 cos_t  10 sin_t  11 ang  12 lane roll (0..127)
+NPAR = 13
 
 
 def _atan2_deg(dy, dx):
@@ -113,7 +119,7 @@ def _axis_vectors(par, j, rows):
     return offy, offx, wy, wx
 
 
-def _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, slot,
+def _start_dma(src_ref, ys_ref, xs_ref, wins, sems, slot,
                block, block_k, rows, n_kpts):
     dmas = []
     for j in range(block_k):
@@ -121,7 +127,7 @@ def _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, slot,
         ys = pl.multiple_of(ys_ref[k], SUBLANE)
         xs = pl.multiple_of(xs_ref[k], LANES)
         dma = pltpu.make_async_copy(
-            src_ref.at[lidx_ref[k], pl.ds(ys, rows), pl.ds(xs, LANES)],
+            src_ref.at[pl.ds(ys, rows), pl.ds(xs, DMA_LANES)],
             wins.at[slot, j],
             sems.at[slot, j])
         dma.start()
@@ -129,27 +135,24 @@ def _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, slot,
     return dmas
 
 
-def _wait_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, slot,
+def _wait_dma(src_ref, ys_ref, xs_ref, wins, sems, slot,
               block, block_k, rows, n_kpts):
     for j in range(block_k):
         k = jnp.minimum(block * block_k + j, n_kpts - 1)
         ys = pl.multiple_of(ys_ref[k], SUBLANE)
         xs = pl.multiple_of(xs_ref[k], LANES)
         pltpu.make_async_copy(
-            src_ref.at[lidx_ref[k], pl.ds(ys, rows), pl.ds(xs, LANES)],
+            src_ref.at[pl.ds(ys, rows), pl.ds(xs, DMA_LANES)],
             wins.at[slot, j],
             sems.at[slot, j]).wait()
 
 
-def _pad_slab(values, rows: int):
-    """Slabs smaller than one window (tiny octave-heavy configs) are
-    padded so clamped window origins stay in-bounds."""
-    hp, wp = values.shape[-2:]
-    hp2 = -(-max(hp, rows) // SUBLANE) * SUBLANE
-    wp2 = -(-max(wp, LANES) // LANES) * LANES
-    if hp2 != hp or wp2 != wp:
-        values = jnp.pad(values, ((0, 0), (0, hp2 - hp), (0, wp2 - wp)))
-    return values
+def _rolled_window(wins, slot, j, par_ref):
+    """Dynamic lane roll: bring the patch (par column 12 lanes into the
+    256-lane DMA window) to lanes [0, 128)."""
+    off = par_ref[j, 12].astype(jnp.int32)
+    raw = wins[slot, j]
+    return pltpu.roll(raw, (DMA_LANES - off) % DMA_LANES, 1)[:, :LANES]
 
 
 # ---------------------------------------------------------------------------
@@ -157,7 +160,7 @@ def _pad_slab(values, rows: int):
 # ---------------------------------------------------------------------------
 
 
-def _ori_kernel(lidx_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
+def _ori_kernel(ys_ref, xs_ref, par_ref, src_ref, out_ref,
                 wins, sems, *,
                 rows: int, block_k: int, n_kpts: int):
     i = pl.program_id(0)
@@ -165,19 +168,19 @@ def _ori_kernel(lidx_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
 
     @pl.when(i == 0)
     def _():
-        _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, 0, 0,
+        _start_dma(src_ref, ys_ref, xs_ref, wins, sems, 0, 0,
                    block_k, rows, n_kpts)
 
     @pl.when(i + 1 < nb)
     def _():
-        _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems,
+        _start_dma(src_ref, ys_ref, xs_ref, wins, sems,
                    (i + 1) % 2, i + 1, block_k, rows, n_kpts)
 
-    _wait_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
+    _wait_dma(src_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
               block_k, rows, n_kpts)
 
     for j in range(block_k):
-        win = wins[i % 2, j]
+        win = _rolled_window(wins, i % 2, j, par_ref)
         mag, ori = _grad_mag_ori(win)
         _, _, wy, wx = _axis_vectors(par_ref, j, rows)
         contrib = mag * wy * wx                    # [rows, LANES]
@@ -197,28 +200,30 @@ def _ori_kernel(lidx_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
         out_ref[j, :] = jnp.sum(m, axis=1)
 
 
+def _pad_args(ys0, xs0, par, k, kp):
+    pad = kp - k
+    ys0 = jnp.concatenate([ys0, jnp.zeros((pad,), ys0.dtype)])
+    xs0 = jnp.concatenate([xs0, jnp.zeros((pad,), xs0.dtype)])
+    par = jnp.concatenate([par, jnp.zeros((pad, NPAR), par.dtype)])
+    return ys0, xs0, par
+
+
 @functools.partial(jax.jit,
                    static_argnames=("rows", "block_k", "interpret"))
-def orientation_hist_fused(values, lidx, ys0, xs0, par, rows: int,
+def orientation_hist_fused(values, ys0, xs0, par, rows: int,
                            block_k: int = 8,
                            interpret: bool = False):
-    """values: [L, Hp, Wp] f32 RAW Gaussian (or DoG) slab with lane-shift
-    copies; lidx/ys0/xs0: [K] i32 aligned window origins;
-    par: [K, NPAR] f32 (see layout above).  Returns [K, 36] f32 raw
-    histograms."""
-    values = _pad_slab(values, rows)
-    k = lidx.shape[0]
+    """values: [Hs, Ws] f32 row-stacked RAW Gaussian (or DoG) slab
+    (ops/flatpyr.stack_pyramid, extra_rows >= rows); ys0/xs0: [K] i32
+    aligned absolute window origins (stacked_origins); par: [K, NPAR] f32
+    (see layout above).  Returns [K, 36] f32 raw histograms."""
+    k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
     if kp != k:
-        pad = kp - k
-        lidx = jnp.concatenate([lidx, jnp.zeros((pad,), lidx.dtype)])
-        ys0 = jnp.concatenate([ys0, jnp.zeros((pad,), ys0.dtype)])
-        xs0 = jnp.concatenate([xs0, jnp.zeros((pad,), xs0.dtype)])
-        par = jnp.concatenate(
-            [par, jnp.zeros((pad, NPAR), par.dtype)])
+        ys0, xs0, par = _pad_args(ys0, xs0, par, k, kp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(kp // block_k,),
         in_specs=[
             pl.BlockSpec((block_k, NPAR), lambda i, *_: (i, 0),
@@ -228,7 +233,7 @@ def orientation_hist_fused(values, lidx, ys0, xs0, par, rows: int,
         out_specs=pl.BlockSpec((block_k, _NBO), lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, block_k, rows, LANES), jnp.float32),
+            pltpu.VMEM((2, block_k, rows, DMA_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, block_k)),
         ],
     )
@@ -239,7 +244,7 @@ def orientation_hist_fused(values, lidx, ys0, xs0, par, rows: int,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lidx, ys0, xs0, par, values)
+    )(ys0, xs0, par, values)
     return out[:k]
 
 
@@ -248,7 +253,7 @@ def orientation_hist_fused(values, lidx, ys0, xs0, par, rows: int,
 # ---------------------------------------------------------------------------
 
 
-def _desc_kernel(lidx_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
+def _desc_kernel(ys_ref, xs_ref, par_ref, src_ref, out_ref,
                  wins, sems, *,
                  rows: int, block_k: int, n_kpts: int):
     i = pl.program_id(0)
@@ -256,19 +261,19 @@ def _desc_kernel(lidx_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
 
     @pl.when(i == 0)
     def _():
-        _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, 0, 0,
+        _start_dma(src_ref, ys_ref, xs_ref, wins, sems, 0, 0,
                    block_k, rows, n_kpts)
 
     @pl.when(i + 1 < nb)
     def _():
-        _start_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems,
+        _start_dma(src_ref, ys_ref, xs_ref, wins, sems,
                    (i + 1) % 2, i + 1, block_k, rows, n_kpts)
 
-    _wait_dma(src_ref, lidx_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
+    _wait_dma(src_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
               block_k, rows, n_kpts)
 
     for j in range(block_k):
-        win = wins[i % 2, j]
+        win = _rolled_window(wins, i % 2, j, par_ref)
         mag, ori = _grad_mag_ori(win)
         offy, offx, wy, wx = _axis_vectors(par_ref, j, rows)
         cos_t = par_ref[j, 9]
@@ -313,25 +318,20 @@ def _desc_kernel(lidx_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
 
 @functools.partial(jax.jit,
                    static_argnames=("rows", "block_k", "interpret"))
-def descriptor_fused(values, lidx, ys0, xs0, par, rows: int,
+def descriptor_fused(values, ys0, xs0, par, rows: int,
                      block_k: int = 8,
                      interpret: bool = False):
-    """values/idx/par as orientation_hist_fused (par additionally carries
-    cos_t, sin_t, ang).  Returns [K, 128] f32 raw descriptor histograms
-    (pre-normalization, cell-major r, c, o — finalize_descriptor order)."""
-    values = _pad_slab(values, rows)
-    k = lidx.shape[0]
+    """values/origins/par as orientation_hist_fused (par additionally
+    carries cos_t, sin_t, ang).  Returns [K, 128] f32 raw descriptor
+    histograms (pre-normalization, cell-major r, c, o —
+    finalize_descriptor order)."""
+    k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
     if kp != k:
-        pad = kp - k
-        lidx = jnp.concatenate([lidx, jnp.zeros((pad,), lidx.dtype)])
-        ys0 = jnp.concatenate([ys0, jnp.zeros((pad,), ys0.dtype)])
-        xs0 = jnp.concatenate([xs0, jnp.zeros((pad,), xs0.dtype)])
-        par = jnp.concatenate(
-            [par, jnp.zeros((pad, NPAR), par.dtype)])
+        ys0, xs0, par = _pad_args(ys0, xs0, par, k, kp)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=2,
         grid=(kp // block_k,),
         in_specs=[
             pl.BlockSpec((block_k, NPAR), lambda i, *_: (i, 0),
@@ -342,7 +342,7 @@ def descriptor_fused(values, lidx, ys0, xs0, par, rows: int,
                                lambda i, *_: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, block_k, rows, LANES), jnp.float32),
+            pltpu.VMEM((2, block_k, rows, DMA_LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2, block_k)),
         ],
     )
@@ -353,5 +353,5 @@ def descriptor_fused(values, lidx, ys0, xs0, par, rows: int,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(lidx, ys0, xs0, par, values)
+    )(ys0, xs0, par, values)
     return out[:k]

@@ -167,11 +167,12 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
     """Fused-Pallas equivalent of ``compute_descriptors_flat``: ONE kernel
     DMAs each keypoint's raw Gaussian window and accumulates the rotated
     4x4x8 trilinear histogram in VMEM (kernels/fused_stages.py) — no
-    gradient slabs, no HBM hat/one-hot operands.  ``slab``: shift-copied
-    RAW Gaussian pyramid.  Returns (desc, nrm2) like the flat path."""
+    gradient slabs, no HBM hat/one-hot operands.  ``slab``: row-stacked
+    RAW Gaussian pyramid (ops/flatpyr.StackedPyramid).  Returns
+    (desc, nrm2) like the flat path."""
     from sift_tpu.kernels.fused_stages import NPAR, descriptor_fused
     from sift_tpu.kernels.window_gather import window_rows
-    from sift_tpu.ops.flatpyr import aligned_origins_128
+    from sift_tpu.ops.flatpyr import stacked_origins
 
     inv = jnp.exp2(-octave.astype(jnp.float32))
     px = jnp.round(x * inv).astype(jnp.int32)
@@ -189,8 +190,8 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
 
     rmax = max_descr_radius(cfg)
     rows = window_rows(rmax)
-    lidx, ys0, xs0, xs_abs = aligned_origins_128(
-        slab, octave, layer, py, px, rmax, rows)
+    ys0, xs0, off, dy0, dx0 = stacked_origins(
+        slab, octave, layer, py, px, rmax)
     h, w = slab.octave_geometry(octave)
     diag = jnp.sqrt((h * h + w * w).astype(jnp.float32))
     radius = jnp.minimum(
@@ -202,8 +203,8 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
 
     k = x.shape[0]
     par = jnp.zeros((k, NPAR), jnp.float32)
-    par = par.at[:, 0].set((ys0 - py).astype(jnp.float32))
-    par = par.at[:, 1].set((xs_abs - px).astype(jnp.float32))
+    par = par.at[:, 0].set(dy0.astype(jnp.float32))
+    par = par.at[:, 1].set(dx0.astype(jnp.float32))
     par = par.at[:, 2].set(1.0 - pyf)
     par = par.at[:, 3].set(hf - 2.0 - pyf)
     par = par.at[:, 4].set(1.0 - pxf)
@@ -214,7 +215,8 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
     par = par.at[:, 9].set(cos_t)
     par = par.at[:, 10].set(sin_t)
     par = par.at[:, 11].set(ang)
-    hist = descriptor_fused(slab.values, lidx, ys0, xs0, par, rows,
+    par = par.at[:, 12].set(off.astype(jnp.float32))
+    hist = descriptor_fused(slab.values, ys0, xs0, par, rows,
                             interpret=interpret)
     return finalize_descriptor(hist)
 

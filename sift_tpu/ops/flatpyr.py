@@ -80,34 +80,81 @@ def shift_copies(p: PaddedPyramid, n: int = 4) -> PaddedPyramid:
     return p._replace(values=jnp.concatenate(outs, axis=0), copies=n)
 
 
-def aligned_origins_128(src: PaddedPyramid, octave, layer, cy, cx,
-                        radius: int, rows: int):
-    """Aligned 128-lane window origins on a shift-copied slab (the fused
-    Pallas kernels' DMA contract; same copy-selection math as
-    ``_keypoint_windows``).  Returns (lidx, ys0, xs0, xs_abs): slab layer
-    index, aligned row/lane origins, and the original-image x of lane 0.
+class StackedPyramid(NamedTuple):
+    """Row-stacked pyramid: every (octave, layer) plane at its NATURAL
+    height, concatenated over rows into one [Hs, Ws] slab (plane starts
+    8-row aligned; Ws = align128(W0) + 128 lanes of slack so 128-aligned
+    window origins never need a right clamp).
 
-    Requires src.copies >= 2 and patch radius + halo within
-    128 - 128//copies lanes (copies=4: radius <= 47)."""
-    from sift_tpu.kernels.window_gather import SUBLANE
+    This is the fused Pallas kernels' DMA source.  Unlike PaddedPyramid
+    (every octave embedded in an octave-0-sized slab, optionally
+    lane-shift-copied 4x) it costs ~2 x D x H0 x Ws total — ~25x less HBM
+    at 1920x1200 — because octave heights halve instead of repeating and
+    there are no shifted copies: the kernels DMA a rows x 256 block and
+    dynamically roll the patch into its first 128 lanes in VMEM."""
 
-    assert src.copies > 1, "aligned_origins_128 needs a shift-copied slab"
-    lanes = 128
-    n_total = src.values.shape[0] // src.copies
-    step = lanes // src.copies
-    hp, wp = src.values.shape[-2:]
-    lrel = octave.astype(jnp.int32) * src.layers + layer.astype(jnp.int32)
+    values: jnp.ndarray   # [Hs, Ws] f32
+    row_off: jnp.ndarray  # [O*D] i32 start row of plane octave*D + layer
+    height: jnp.ndarray   # [O] valid height per octave
+    width: jnp.ndarray    # [O]
+    layers: int           # D (static)
+
+    def octave_geometry(self, octave: jnp.ndarray):
+        return jnp.take(self.height, octave), jnp.take(self.width, octave)
+
+
+def stack_pyramid(blocks: List[jnp.ndarray],
+                  extra_rows: int = 0) -> StackedPyramid:
+    """blocks: per-octave [D, H_o, W_o], octave 0 largest.  ``extra_rows``:
+    bottom margin >= the largest window row count, so clamped window
+    origins inside the LAST plane stay in-bounds (reads past a plane's
+    valid rows land in the next plane — garbage by contract, always
+    masked by the consumers' bounds tests)."""
+    d, h0, w0 = blocks[0].shape
+    ws = -(-max(w0, 128) // 128) * 128 + 128
+    slabs, offs, hs, wws = [], [], [], []
+    row = 0
+    for b in blocks:
+        bd, h, w = b.shape
+        ha = -(-h // 8) * 8
+        for l in range(bd):
+            offs.append(row + l * ha)
+        slabs.append(jnp.pad(
+            b, ((0, 0), (0, ha - h), (0, ws - w))).reshape(bd * ha, ws))
+        row += bd * ha
+        hs.append(h)
+        wws.append(w)
+    if extra_rows:
+        pad = -(-extra_rows // 8) * 8
+        slabs.append(jnp.zeros((pad, ws), blocks[0].dtype))
+    return StackedPyramid(
+        values=jnp.concatenate(slabs, axis=0),
+        row_off=jnp.asarray(np.array(offs, np.int32)),
+        height=jnp.asarray(np.array(hs, np.int32)),
+        width=jnp.asarray(np.array(wws, np.int32)),
+        layers=d)
+
+
+def stacked_origins(src: StackedPyramid, octave, layer, cy, cx,
+                    radius: int):
+    """Window origins on a stacked slab for the fused Pallas kernels.
+
+    Returns (ys0, xs0, off, dy0, dx0): absolute aligned DMA origins, the
+    dynamic lane roll (patch starts ``off`` lanes into the 256-lane DMA
+    window; 0 <= off < 128), and the window[0, 0] offsets relative to the
+    keypoint center.  Patch + gradient-halo contract: radius <= 62
+    (2*(radius+1) <= 126 lanes after the roll)."""
     m = radius + 1
-    q = jnp.maximum((cx - m) // step, 0)
-    copy = q % src.copies
-    al = (q // src.copies) * lanes
-    al = jnp.minimum(al, wp - lanes).astype(jnp.int32)
-    lidx = copy * n_total + lrel
-    ys0 = jnp.minimum((cy - m) // SUBLANE * SUBLANE,
-                      -(-max(hp, rows) // SUBLANE) * SUBLANE - rows)
-    ys0 = jnp.maximum(ys0, 0).astype(jnp.int32)
-    xs_abs = al + copy * step
-    return lidx, ys0, al, xs_abs
+    lrel = octave.astype(jnp.int32) * src.layers + layer.astype(jnp.int32)
+    base = jnp.take(src.row_off, lrel)
+    ys_rel = jnp.maximum((cy - m) // SUBLANE_ * SUBLANE_, 0)
+    xlo = jnp.maximum(cx - m, 0)
+    xs0 = (xlo // 128) * 128
+    return ((base + ys_rel).astype(jnp.int32), xs0.astype(jnp.int32),
+            (xlo - xs0).astype(jnp.int32), ys_rel - cy, xlo - cx)
+
+
+SUBLANE_ = 8
 
 
 def resolve_gather_impl(impl: str) -> str:

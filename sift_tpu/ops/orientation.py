@@ -125,17 +125,19 @@ def _hist_chunk(mag, ori, octave, px, py, layer, sigma_ori, radius, valid,
         preferred_element_type=jnp.float32)[:, 0, :]    # [Kc, 36]
 
 
-def orientation_histograms_fused(slab: PaddedPyramid, octave, x, y, layer,
+def orientation_histograms_fused(slab, octave, x, y, layer,
                                  size, valid, cfg: SiftConfig,
                                  interpret: bool = False) -> jnp.ndarray:
     """Fused-Pallas equivalent of ``orientation_histograms_flat``: ONE
     kernel DMAs each keypoint's raw source window (Gaussian by default;
     the DoG block in the reference's orientation_source="dog" mode) and
     accumulates the 36-bin histogram in VMEM — no dense gradient slabs,
-    no HBM intermediates.  ``slab``: shift-copied RAW pyramid."""
+    no HBM intermediates.  ``slab``: row-stacked RAW pyramid
+    (ops/flatpyr.StackedPyramid, extra_rows >= this stage's window
+    rows)."""
     from sift_tpu.kernels.fused_stages import NPAR, orientation_hist_fused
     from sift_tpu.kernels.window_gather import window_rows
-    from sift_tpu.ops.flatpyr import aligned_origins_128
+    from sift_tpu.ops.flatpyr import stacked_origins
 
     inv = jnp.exp2(-octave.astype(jnp.float32))
     px = jnp.round(x * inv).astype(jnp.int32)
@@ -146,8 +148,8 @@ def orientation_histograms_fused(slab: PaddedPyramid, octave, x, y, layer,
 
     rmax = max_ori_radius(cfg)
     rows = window_rows(rmax)
-    lidx, ys0, xs0, xs_abs = aligned_origins_128(
-        slab, octave, layer, py, px, rmax, rows)
+    ys0, xs0, off, dy0, dx0 = stacked_origins(
+        slab, octave, layer, py, px, rmax)
     h, w = slab.octave_geometry(octave)
     hf = h.astype(jnp.float32)
     wf = w.astype(jnp.float32)
@@ -157,8 +159,8 @@ def orientation_histograms_fused(slab: PaddedPyramid, octave, x, y, layer,
 
     k = x.shape[0]
     par = jnp.zeros((k, NPAR), jnp.float32)
-    par = par.at[:, 0].set((ys0 - py).astype(jnp.float32))
-    par = par.at[:, 1].set((xs_abs - px).astype(jnp.float32))
+    par = par.at[:, 0].set(dy0.astype(jnp.float32))
+    par = par.at[:, 1].set(dx0.astype(jnp.float32))
     par = par.at[:, 2].set(1.0 - pyf)
     par = par.at[:, 3].set(hf - 2.0 - pyf)
     par = par.at[:, 4].set(1.0 - pxf)
@@ -166,7 +168,8 @@ def orientation_histograms_fused(slab: PaddedPyramid, octave, x, y, layer,
     par = par.at[:, 6].set(es)
     par = par.at[:, 7].set(radius)
     par = par.at[:, 8].set(valid.astype(jnp.float32))
-    return orientation_hist_fused(slab.values, lidx, ys0, xs0, par, rows,
+    par = par.at[:, 12].set(off.astype(jnp.float32))
+    return orientation_hist_fused(slab.values, ys0, xs0, par, rows,
                                   interpret=interpret)
 
 

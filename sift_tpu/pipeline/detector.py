@@ -100,29 +100,34 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         # a PACKED (mag, ori) slab — one gather per window; orientation
         # keeps the full-precision pair (its 1-degree parity gate is
         # sensitive to quantization).
-        # The 128-lane shifted-copy window contract only holds for patch
-        # radius <= 47 (ops/flatpyr.py copy-selection bound); legal
-        # configs with larger sigma fall back to unshifted 256-lane
-        # windows instead of silently dropping patch-edge pixels.
+        # The fused kernels' rolled-window contract holds for patch
+        # radius <= 62 (2*(radius+1) <= 126 lanes after the dynamic
+        # roll, ops/flatpyr.stacked_origins); the flat path's 128-lane
+        # shifted-copy contract needs radius <= 47.  Legal configs with
+        # larger sigma fall back to unshifted 256-lane windows instead
+        # of silently dropping patch-edge pixels.
+        from sift_tpu.kernels.window_gather import window_rows
         from sift_tpu.ops.descriptor import max_descr_radius
-        from sift_tpu.ops.flatpyr import resolve_gather_impl
+        from sift_tpu.ops.flatpyr import resolve_gather_impl, stack_pyramid
         from sift_tpu.ops.orientation import max_ori_radius
-        fits_128 = max(max_descr_radius(cfg), max_ori_radius(cfg)) <= 47
+        rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
         impl = resolve_gather_impl(cfg.gather_impl)
-        fused = fits_128 and impl in ("pallas", "pallas_interpret")
+        fused = rmax <= 62 and impl in ("pallas", "pallas_interpret")
         interp = impl == "pallas_interpret"
 
         if fused:
             # Fused-Pallas path (TPU): the kernels DMA RAW pixel windows
-            # and compute gradients + histograms in VMEM — no dense
-            # gradient slabs at all (kernels/fused_stages.py).
-            slab_g = shift_copies(pad_pyramid(gauss))
+            # off ONE row-stacked slab and compute gradients + histograms
+            # in VMEM — no dense gradient slabs, no slab copies
+            # (kernels/fused_stages.py).
+            slab_g = stack_pyramid(gauss, extra_rows=window_rows(rmax))
             ori_slab = slab_g if cfg.orientation_source == "gaussian" \
-                else shift_copies(pad_pyramid(dogs))
+                else stack_pyramid(dogs, extra_rows=window_rows(rmax))
             hist = O.orientation_histograms_fused(
                 ori_slab, koct, kx, ky, klyr, ksize, val, cfg,
                 interpret=interp)
         else:
+            fits_128 = rmax <= 47
             shift = shift_copies if fits_128 else (lambda p: p)
             padded_gauss = pad_pyramid(gauss)
             gradf = shift(dense_gradients_packed(padded_gauss))

@@ -16,9 +16,12 @@ from sift_tpu.config import SiftConfig
 from sift_tpu.core.types import build_plan
 from sift_tpu.ops import descriptor as D
 from sift_tpu.ops import orientation as O
+from sift_tpu.kernels.window_gather import window_rows
+from sift_tpu.ops.descriptor import max_descr_radius
 from sift_tpu.ops.flatpyr import (dense_gradients_packed,
                                   dense_gradients_padded, pad_pyramid,
-                                  shift_copies)
+                                  shift_copies, stack_pyramid)
+from sift_tpu.ops.orientation import max_ori_radius
 from sift_tpu.pipeline.detector import build_detect_fn
 
 
@@ -34,7 +37,8 @@ def fused_setup():
             rng.normal(100, 40, (L, h >> o, w >> o)).astype(np.float32)))
 
     gauss = pad_pyramid(blocks)
-    slab = shift_copies(gauss)
+    rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
+    slab = stack_pyramid(blocks, extra_rows=window_rows(rmax))
 
     K = 48
     octv = rng.integers(0, 3, K).astype(np.int32)
