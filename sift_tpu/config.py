@@ -82,6 +82,15 @@ class SiftConfig:
     # "pallas_interpret" (fused Pallas kernels in interpreter mode — slow;
     # CPU testing of the production TPU path only).
     gather_impl: str = "auto"
+    # Descriptor storage dtype.  "uint8": 0..255-quantized descriptors are
+    # stored as one byte each (4x less result memory/transfer) and the
+    # matcher runs its Gram matmul in bf16 — bit-identical match indices
+    # (every value/product is exact; see pipeline/matcher.py).  The TPU
+    # shape of the reference's half-precision descriptor storage
+    # (types/KeyPoint.cuh:27, SiftOps.cu:617-622).  Applies only to the
+    # integer "opencv" quantization; the continuous "reference" mode
+    # always stores float32.
+    descriptor_dtype: str = "uint8"
 
     def __post_init__(self):
         if self.width <= 0 or self.height <= 0:
@@ -96,6 +105,9 @@ class SiftConfig:
                                     "pallas_interpret"):
             raise ValueError("gather_impl must be 'auto', 'pallas', "
                              "'xla' or 'pallas_interpret'")
+        if self.descriptor_dtype not in ("uint8", "float32"):
+            raise ValueError("descriptor_dtype must be 'uint8' or "
+                             "'float32'")
 
     @property
     def num_octaves(self) -> int:

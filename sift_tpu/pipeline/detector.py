@@ -166,6 +166,10 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
                 kps.angle, kps.valid, cfg)
         desc = D.quantize_descriptor(desc, nrm2, quant_mode)
         desc = jnp.where(evalid[:, None], desc, 0.0)
+        if quant_mode == "opencv" and cfg.descriptor_dtype == "uint8":
+            # Integer-quantized values fit one byte; the matcher's bf16
+            # path matches bit-identically (config.descriptor_dtype).
+            desc = desc.astype(jnp.uint8)
 
         if cfg.upscale:
             # OpenCV firstOctave = -1 final adjustment: halve coords/size,

@@ -25,17 +25,38 @@ import jax.numpy as jnp
 def match_brute_force(query: jnp.ndarray, train: jnp.ndarray,
                       q_valid=None, t_valid=None,
                       ratio: float = 0.8) -> jnp.ndarray:
-    """query: [Q, 128]; train: [S, 128] (0..255 or 0..512 quantized floats).
+    """query: [Q, 128]; train: [S, 128] — uint8 (0..255 quantized storage,
+    config.descriptor_dtype="uint8") or float (0..255/0..512 quantized).
     Returns [Q] int32: index into train, or -1."""
-    q = query.astype(jnp.float32) * 0.25
-    t = train.astype(jnp.float32) * 0.25
-    qn = jnp.sum(q * q, -1, keepdims=True)             # [Q, 1]
-    tn = jnp.sum(t * t, -1, keepdims=True).T           # [1, S]
-    d2 = qn + tn - 2.0 * jnp.matmul(
-        q, t.T, precision=jax.lax.Precision.HIGHEST)   # [Q, S]
+    if (jnp.issubdtype(query.dtype, jnp.integer)
+            and jnp.issubdtype(train.dtype, jnp.integer)):
+        # u8-quantized descriptors: 0..255 integers are exact in bf16
+        # (8 significant bits) and every product/sum stays below 2^24
+        # (128 * 255^2 < 2^24), so the bf16 MXU Gram matmul with f32
+        # accumulation is BIT-IDENTICAL to f32-HIGHEST at ~4x the rate —
+        # the TPU shape of the reference's half2 matching
+        # (Match.cu:69-99, KeyPoint.cuh:27).  The ratio test is scale
+        # invariant, so the reference's 0.25 pre-scale is dropped here.
+        qf = query.astype(jnp.float32)
+        tf = train.astype(jnp.float32)
+        qn = jnp.sum(qf * qf, -1, keepdims=True)       # [Q, 1]
+        tn = jnp.sum(tf * tf, -1, keepdims=True).T     # [1, S]
+        d2 = qn + tn - 2.0 * jnp.matmul(
+            query.astype(jnp.bfloat16), train.astype(jnp.bfloat16).T,
+            preferred_element_type=jnp.float32)        # [Q, S]
+    else:
+        q = query.astype(jnp.float32) * 0.25
+        t = train.astype(jnp.float32) * 0.25
+        qn = jnp.sum(q * q, -1, keepdims=True)         # [Q, 1]
+        tn = jnp.sum(t * t, -1, keepdims=True).T       # [1, S]
+        d2 = qn + tn - 2.0 * jnp.matmul(
+            q, t.T, precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.maximum(d2, 0.0)
 
-    big = jnp.float32(1e6)  # reference init value (Match.cu:126-129)
+    # Invalid-entry sentinel: must exceed any real distance.  The
+    # reference uses 1e6 on /4-scaled values (max 128*64^2, Match.cu:
+    # 126-129); the unscaled u8 path reaches 128*255^2 ~ 8.3e6.
+    big = jnp.float32(1e9)
     if t_valid is not None:
         d2 = jnp.where(t_valid[None, :], d2, big)
 

@@ -66,10 +66,12 @@ def main(argv=None):
             "vs_baseline": round(ms / base, 4) if base else None}))
 
     # Brute-force matching (readme.md:11: 2000x2000 in < 1 ms).
-    q = jax.device_put(jnp.asarray(rng.uniform(0, 255, (2000, 128)),
-                                   jnp.float32))
-    t = jax.device_put(jnp.asarray(rng.uniform(0, 255, (2000, 128)),
-                                   jnp.float32))
+    # uint8 storage — the pipeline's default descriptor dtype; the
+    # matcher runs the exact bf16 MXU path on it.
+    q = jax.device_put(jnp.asarray(rng.integers(0, 256, (2000, 128)),
+                                   jnp.uint8))
+    t = jax.device_put(jnp.asarray(rng.integers(0, 256, (2000, 128)),
+                                   jnp.uint8))
 
     def match_step(qq):
         m = match_brute_force(qq, t)

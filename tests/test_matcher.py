@@ -59,6 +59,24 @@ def test_match_pairs_cross_check(desc_pair):
     assert (back[ti] == qi).all()
 
 
+def test_uint8_path_identical_indices(desc_pair):
+    """uint8 storage + bf16 MXU matching must be BIT-IDENTICAL to the f32
+    path: cv2 descriptors are 0..255-integer-valued, every bf16 value and
+    product is exact, and sums stay under 2^24 (pipeline/matcher.py)."""
+    da, db = desc_pair
+    f32 = np.asarray(match_brute_force(jnp.asarray(da), jnp.asarray(db)))
+    u8 = np.asarray(match_brute_force(
+        jnp.asarray(da.astype(np.uint8)), jnp.asarray(db.astype(np.uint8))))
+    assert (f32 == u8).all()
+    tv = jnp.asarray(np.arange(len(db)) % 2 == 0)
+    f32m = np.asarray(match_brute_force(
+        jnp.asarray(da), jnp.asarray(db), t_valid=tv))
+    u8m = np.asarray(match_brute_force(
+        jnp.asarray(da.astype(np.uint8)), jnp.asarray(db.astype(np.uint8)),
+        t_valid=tv))
+    assert (f32m == u8m).all()
+
+
 def test_self_match_identity(desc_pair):
     """Matching a set against itself: with ratio test the second-best is a
     different descriptor, so matches that survive must be the identity."""
