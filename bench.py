@@ -75,9 +75,8 @@ def main():
         res = detect(img)
         return img, jnp.sum(res.descriptors) + jnp.sum(res.keypoints.x)
 
-    rng = np.random.default_rng(0)
-    host = np.clip(rng.normal(128, 40, (480, 752)), 0, 255)
-    img = jax.device_put(jnp.asarray(host, jnp.float32))
+    from sift_tpu.perf.benchimg import bench_image
+    img = jax.device_put(jnp.asarray(bench_image(480, 752), jnp.float32))
 
     def set_fallback(ms):
         _state["fallback"] = ms

@@ -29,7 +29,8 @@ for o in range(3):
 
 gauss = pad_pyramid(blocks)
 rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
-slab = stack_pyramid(blocks, extra_rows=window_rows(rmax))
+slab = stack_pyramid(blocks, extra_rows=window_rows(rmax), copies=4,
+                     layer_lo=1, layer_hi=L - 2)
 gradp = shift_copies(dense_gradients_packed(gauss))
 o_mag, o_ori = dense_gradients_padded(gauss)
 o_mag, o_ori = shift_copies(o_mag), shift_copies(o_ori)

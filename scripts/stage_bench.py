@@ -2,6 +2,9 @@
 backend.  Times cumulative pipeline prefixes with the chained-K slope
 method (perf/timing.py) and prints the per-stage diffs.
 
+Profiles the FUSED path (the TPU default): raw-window Pallas kernels off
+a row-stacked slab; stage 5 is the slab stack, not gradient slabs.
+
 Usage: python scripts/stage_bench.py [W H CAP]
 """
 
@@ -19,12 +22,13 @@ import numpy as np
 
 from sift_tpu.config import SIFT_IMG_BORDER, SiftConfig
 from sift_tpu.core.types import build_plan
+from sift_tpu.kernels.window_gather import window_rows
 from sift_tpu.ops import compact as C
 from sift_tpu.ops import descriptor as D
 from sift_tpu.ops import orientation as O
-from sift_tpu.ops.flatpyr import (dense_gradients_packed,
-                                  dense_gradients_padded, pad_pyramid,
-                                  shift_copies)
+from sift_tpu.ops.descriptor import max_descr_radius
+from sift_tpu.ops.flatpyr import stack_pyramid
+from sift_tpu.ops.orientation import max_ori_radius
 from sift_tpu.ops.peaks import find_candidates
 from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
 from sift_tpu.ops.refine_dense import refine_keypoints_dense
@@ -33,9 +37,10 @@ from sift_tpu.perf.timing import measure_ms
 
 def build_prefix_fn(plan, n_stages):
     """Stage order: 1 pyramid, 2 extrema, 3 refine, 4 compaction,
-    5 gradient slabs, 6 orientation, 7 descriptor."""
+    5 stack slab, 6 orientation(+peaks+expand), 7 descriptor."""
     cfg = plan.config
     kcap = cfg.num_features
+    rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
 
     def fn(image):
         probe = jnp.float32(0)
@@ -76,15 +81,12 @@ def build_prefix_fn(plan, n_stages):
         koct = jnp.take(roct, idx)
         if n_stages == 4:
             return jnp.sum(kx) + jnp.sum(ksize)
-        padded_gauss = pad_pyramid(gauss)
-        gradf = shift_copies(dense_gradients_packed(padded_gauss))
-        o_mag, o_ori = dense_gradients_padded(padded_gauss)
-        o_mag, o_ori = shift_copies(o_mag), shift_copies(o_ori)
+        slab = stack_pyramid(gauss, extra_rows=window_rows(rmax), copies=4,
+                             layer_lo=1, layer_hi=cfg.num_octave_layers + 1)
         if n_stages == 5:
-            return (jnp.sum(gradf.values[0]) + jnp.sum(o_mag.values[0])
-                    + jnp.sum(o_ori.values[0]) + jnp.sum(kx))
-        hist = O.orientation_histograms_flat(
-            o_mag, o_ori, koct, kx, ky, klyr, ksize, val, cfg)
+            return jnp.sum(slab.values[0]) + jnp.sum(kx)
+        hist = O.orientation_histograms_fused(
+            slab, koct, kx, ky, klyr, ksize, val, cfg)
         angles, peaks = O.orientation_peaks(hist, val, cfg)
         nb = angles.shape[1]
         eidx, evalid = C.stream_compact(peaks.reshape(-1), kcap)
@@ -97,8 +99,8 @@ def build_prefix_fn(plan, n_stages):
         fang = jnp.take(angles.reshape(-1), eidx)
         if n_stages == 6:
             return jnp.sum(fang) + jnp.sum(fx)
-        desc, nrm2 = D.compute_descriptors_flat(
-            gradf, foct, fx, fy, flyr, fsize, fang, evalid, cfg)
+        desc, nrm2 = D.compute_descriptors_fused(
+            slab, foct, fx, fy, flyr, fsize, fang, evalid, cfg)
         return jnp.sum(desc) + jnp.sum(fx)
 
     return fn
@@ -114,7 +116,7 @@ def main():
     img = jax.device_put(jnp.asarray(
         np.clip(rng.normal(128, 40, (h, w)), 0, 255), jnp.float32))
 
-    names = ["pyramid", "extrema", "refine", "compact", "gradslabs",
+    names = ["pyramid", "extrema", "refine", "compact", "stackslab",
              "orientation", "descriptor"]
     prev = 0.0
     for i, name in enumerate(names, 1):

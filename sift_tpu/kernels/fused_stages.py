@@ -22,14 +22,18 @@ The numerical contracts match ops/orientation.py / ops/descriptor.py
 exactly (same masks, same hat identities); tests gate the two paths
 against each other in interpret mode.
 
-Window contract: the source is a row-STACKED raw pyramid (ONE copy,
-ops/flatpyr.stack_pyramid — every (octave, layer) plane at natural
-height).  Each keypoint DMAs a rows x 256 block at an 8-row/128-lane
-aligned origin, then a dynamic in-VMEM lane roll (pltpu.roll) brings the
-patch to the window's first 128 lanes; compute runs on 128 lanes.  A
-patch of radius r <= 62 plus its 1-px gradient halo always fits.  This
-replaces the earlier 4x lane-shifted slab copies — same aligned-DMA
-guarantee at 1/4 the HBM footprint and no per-frame copy writes.
+Window contract: the source is a row-STACKED raw pyramid with
+128/copies-lane-shifted copies (ops/flatpyr.stack_pyramid — every kept
+(octave, layer) plane at natural height; only the layers keypoints
+reference are kept, so 4 copies cost ~2x one full slab).  Copy selection
+(ops/flatpyr.stacked_origins) places each keypoint's patch at a lane
+offset < 128/copies inside an 8-row/128-lane aligned [rows, 128] DMA
+block, so the unpacked kernels touch the window as-is — no dynamic
+in-VMEM roll (measured ~0.15 us/keypoint on v5e, the single biggest
+per-keypoint overhead of the rolled design).  With copies=4 a patch of
+radius r <= 46 plus its 1-px gradient halo always fits.  The lane-packed
+orientation path still rolls — by (seg*s - off) — to place pack patches
+at segment starts.
 """
 
 from __future__ import annotations
@@ -46,7 +50,7 @@ from sift_tpu.config import (SIFT_DESCR_HIST_BINS, SIFT_DESCR_WIDTH,
                              SIFT_ORI_HIST_BINS)
 
 LANES = 128
-DMA_LANES = 256
+DMA_LANES = 128
 SUBLANE = 8
 _D = SIFT_DESCR_WIDTH
 _NBD = SIFT_DESCR_HIST_BINS
@@ -56,7 +60,7 @@ _RAD2DEG = 180.0 / math.pi
 # f32 param-row layout shared by both kernels (desc uses all 13 columns):
 #  0 dy0 (win row0 - cy)  1 dx0 (win lane0 - cx)  2 ylo (1-py)
 #  3 yhi (h-2-py)  4 xlo (1-px)  5 xhi (w-2-px)   6 es  7 radius
-#  8 valid  9 cos_t  10 sin_t  11 ang  12 lane roll (0..127)
+#  8 valid  9 cos_t  10 sin_t  11 ang  12 patch lane offset (< 128/copies)
 NPAR = 13
 
 
@@ -119,40 +123,83 @@ def _axis_vectors(par, j, rows):
     return offy, offx, wy, wx
 
 
-def _start_dma(src_ref, ys_ref, xs_ref, wins, sems, slot,
+def _start_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, slot,
                block, block_k, rows, n_kpts):
-    dmas = []
+    """Issue per-keypoint window DMAs for ``block``; keypoints at or past
+    the LIVE count (cnt_ref[0]; compaction is valid-first, so live ==
+    first cnt) are skipped entirely — work scales with the frame's actual
+    keypoint count, not the static capacity (the CUDA count-sized-launch
+    equivalent at XLA-compatible static shapes)."""
     for j in range(block_k):
-        k = jnp.minimum(block * block_k + j, n_kpts - 1)
-        ys = pl.multiple_of(ys_ref[k], SUBLANE)
-        xs = pl.multiple_of(xs_ref[k], LANES)
-        dma = pltpu.make_async_copy(
-            src_ref.at[pl.ds(ys, rows), pl.ds(xs, DMA_LANES)],
-            wins.at[slot, j],
-            sems.at[slot, j])
-        dma.start()
-        dmas.append(dma)
-    return dmas
+        k = block * block_k + j
+
+        @pl.when(k < cnt_ref[0])
+        def _(k=k, j=j):
+            kc = jnp.minimum(k, n_kpts - 1)
+            ys = pl.multiple_of(ys_ref[kc], SUBLANE)
+            xs = pl.multiple_of(xs_ref[kc], LANES)
+            pltpu.make_async_copy(
+                src_ref.at[pl.ds(ys, rows), pl.ds(xs, DMA_LANES)],
+                wins.at[slot, j],
+                sems.at[slot, j]).start()
 
 
-def _wait_dma(src_ref, ys_ref, xs_ref, wins, sems, slot,
+def _wait_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, slot,
               block, block_k, rows, n_kpts):
     for j in range(block_k):
-        k = jnp.minimum(block * block_k + j, n_kpts - 1)
-        ys = pl.multiple_of(ys_ref[k], SUBLANE)
-        xs = pl.multiple_of(xs_ref[k], LANES)
-        pltpu.make_async_copy(
-            src_ref.at[pl.ds(ys, rows), pl.ds(xs, DMA_LANES)],
-            wins.at[slot, j],
-            sems.at[slot, j]).wait()
+        k = block * block_k + j
+
+        @pl.when(k < cnt_ref[0])
+        def _(k=k, j=j):
+            kc = jnp.minimum(k, n_kpts - 1)
+            ys = pl.multiple_of(ys_ref[kc], SUBLANE)
+            xs = pl.multiple_of(xs_ref[kc], LANES)
+            pltpu.make_async_copy(
+                src_ref.at[pl.ds(ys, rows), pl.ds(xs, DMA_LANES)],
+                wins.at[slot, j],
+                sems.at[slot, j]).wait()
 
 
-def _rolled_window(wins, slot, j, par_ref):
-    """Dynamic lane roll: bring the patch (par column 12 lanes into the
-    256-lane DMA window) to lanes [0, 128)."""
-    off = par_ref[j, 12].astype(jnp.int32)
-    raw = wins[slot, j]
-    return pltpu.roll(raw, (DMA_LANES - off) % DMA_LANES, 1)[:, :LANES]
+def _seg_masks(pack: int, seg: int):
+    """[1, LANES] bool lane masks of the ``pack`` packing segments."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+    return [(li >= s * seg) & (li < (s + 1) * seg) for s in range(pack)]
+
+
+def _seg_vec(par_ref, js, col, masks, shift=None):
+    """[1, LANES] f32 carrying par[js[s], col] (plus an optional static
+    per-segment shift) on segment s — per-keypoint scalars as lane
+    vectors, so ``pack`` keypoints share one vector op."""
+    v = None
+    for s, m in enumerate(masks):
+        x = par_ref[js[s], col]
+        if shift is not None:
+            x = x + shift[s]
+        t = jnp.where(m, x, 0.0)
+        v = t if v is None else v + t
+    return v
+
+
+def _packed_window(wins, slot, js, par_ref, seg, masks):
+    """Merge ``len(js)`` keypoints' patches into ONE [rows, LANES] window,
+    patch s starting at lane s*seg (rolled there from its DMA offset,
+    par column 12).  Keypoints share every subsequent vector op
+    (gradients, atan2, histogram passes) — the per-keypoint cost of the
+    whole compute chain divides by the pack factor.  Patch + gradient
+    halo must fit the segment: 2*(radius+1)+1 <= seg.
+
+    Invalid keypoints' segments are zeroed (their DMA may have been
+    count-skipped, leaving stale or uninitialized VMEM — a NaN there
+    would leak into a neighbor segment's masked halo through the
+    gradient rolls, and NaN * 0 poisons the shared lane reductions)."""
+    win = None
+    for s, j in enumerate(js):
+        off = par_ref[j, 12].astype(jnp.int32)
+        shift = (LANES - off + s * seg) % LANES
+        w = pltpu.roll(wins[slot, j], shift, 1)
+        w = jnp.where(masks[s] & (par_ref[j, 8] > 0.0), w, 0.0)
+        win = w if win is None else win + w
+    return win
 
 
 # ---------------------------------------------------------------------------
@@ -160,44 +207,90 @@ def _rolled_window(wins, slot, j, par_ref):
 # ---------------------------------------------------------------------------
 
 
-def _ori_kernel(ys_ref, xs_ref, par_ref, src_ref, out_ref,
+def _ori_kernel(cnt_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
                 wins, sems, *,
-                rows: int, block_k: int, n_kpts: int):
+                rows: int, block_k: int, n_kpts: int, pack: int):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
 
     @pl.when(i == 0)
     def _():
-        _start_dma(src_ref, ys_ref, xs_ref, wins, sems, 0, 0,
+        _start_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, 0, 0,
                    block_k, rows, n_kpts)
 
     @pl.when(i + 1 < nb)
     def _():
-        _start_dma(src_ref, ys_ref, xs_ref, wins, sems,
+        _start_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems,
                    (i + 1) % 2, i + 1, block_k, rows, n_kpts)
 
-    _wait_dma(src_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
+    _wait_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
               block_k, rows, n_kpts)
 
-    for j in range(block_k):
-        win = _rolled_window(wins, i % 2, j, par_ref)
+    seg = LANES // pack
+    masks = _seg_masks(pack, seg)
+    for g in range(block_k // pack):
+        js = [g * pack + s for s in range(pack)]
+
+        # Whole-group skip past the live count (compaction is valid-
+        # first): out rows stay garbage, discarded downstream by the
+        # validity mask.
+        @pl.when(i * block_k + js[0] < cnt_ref[0])
+        def _(g=g, js=js):
+            _ori_group(par_ref, out_ref, wins, i % 2, js, rows, pack,
+                       seg, masks)
+
+
+def _ori_group(par_ref, out_ref, wins, slot, js, rows, pack, seg, masks):
+    if pack == 1:
+        win = wins[slot, js[0]]
         mag, ori = _grad_mag_ori(win)
-        _, _, wy, wx = _axis_vectors(par_ref, j, rows)
-        contrib = mag * wy * wx                    # [rows, LANES]
-        # bin = round(ori * 36/360), wrapped (ops/orientation.py:113-115).
-        b = jnp.round(ori * (_NBO / 360.0))
-        b = jnp.where(b >= _NBO, b - _NBO, b)
-        b = jnp.where(b < 0, b + _NBO, b)
-        # Sublane-reduce per bin (cheap), then ONE lane reduction over the
-        # stacked [36, LANES] matrix — lane reductions are ~7x the cost of
-        # sublane reductions and must not run once per bin.
-        cols = [
-            jnp.sum(jnp.where(b == float(bi), contrib, 0.0),
-                    axis=0, keepdims=True)          # [1, LANES]
-            for bi in range(_NBO)
-        ]
-        m = jnp.concatenate(cols, axis=0)           # [36, LANES]
-        out_ref[j, :] = jnp.sum(m, axis=1)
+        _, _, wy, wx = _axis_vectors(par_ref, js[0], rows)
+    else:
+        win = _packed_window(wins, slot, js, par_ref, seg, masks)
+        mag, ori = _grad_mag_ori(win)
+        # Per-keypoint scalars as per-segment lane vectors; offx is
+        # lane-relative to each patch's segment start (dx0 is DMA-
+        # window-lane-0 relative — add the patch offset, col 12).
+        li = jax.lax.broadcasted_iota(
+            jnp.int32, (1, LANES), 1).astype(jnp.float32)
+        ri = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, 1), 0).astype(jnp.float32)
+        shift = [-float(s * seg) for s in range(pack)]
+        offy = _seg_vec(par_ref, js, 0, masks) + ri     # [rows, LANES]
+        offx = (_seg_vec(par_ref, js, 1, masks, shift)
+                + _seg_vec(par_ref, js, 12, masks) + li)
+        ylo = _seg_vec(par_ref, js, 2, masks)
+        yhi = _seg_vec(par_ref, js, 3, masks)
+        xlo = _seg_vec(par_ref, js, 4, masks)
+        xhi = _seg_vec(par_ref, js, 5, masks)
+        es = _seg_vec(par_ref, js, 6, masks)
+        rad = _seg_vec(par_ref, js, 7, masks)
+        vld = _seg_vec(par_ref, js, 8, masks)
+        my = (offy >= ylo) & (offy <= yhi) & (jnp.abs(offy) <= rad)
+        mx = ((offx >= xlo) & (offx <= xhi)
+              & (jnp.abs(offx) <= rad))                 # [1, LANES]
+        wy = jnp.where(my, jnp.exp(offy * offy * es), 0.0)
+        wx = jnp.where(mx, jnp.exp(offx * offx * es) * vld, 0.0)
+    contrib = mag * wy * wx                    # [rows, LANES]
+    # bin = round(ori * 36/360), wrapped (ops/orientation.py:113-115).
+    b = jnp.round(ori * (_NBO / 360.0))
+    b = jnp.where(b >= _NBO, b - _NBO, b)
+    b = jnp.where(b < 0, b + _NBO, b)
+    # Sublane-reduce per bin (cheap), then ONE lane reduction over the
+    # stacked [36, LANES] matrix — lane reductions are ~7x the cost of
+    # sublane reductions and must not run once per bin.
+    cols = [
+        jnp.sum(jnp.where(b == float(bi), contrib, 0.0),
+                axis=0, keepdims=True)          # [1, LANES]
+        for bi in range(_NBO)
+    ]
+    m = jnp.concatenate(cols, axis=0)           # [36, LANES]
+    if pack == 1:
+        out_ref[js[0], :] = jnp.sum(m, axis=1)
+    else:
+        for s in range(pack):
+            out_ref[js[s], :] = jnp.sum(
+                jnp.where(masks[s], m, 0.0), axis=1)
 
 
 def _pad_args(ys0, xs0, par, k, kp):
@@ -208,22 +301,42 @@ def _pad_args(ys0, xs0, par, k, kp):
     return ys0, xs0, par
 
 
+def pack_factor(rmax: int) -> int:
+    """Largest lane-packing factor whose segment holds a patch of radius
+    ``rmax`` plus the 1-px gradient halo (2*(rmax+1)+1 lanes)."""
+    width = 2 * (rmax + 1) + 1
+    for pack in (3, 2):
+        if width <= LANES // pack:
+            return pack
+    return 1
+
+
 @functools.partial(jax.jit,
-                   static_argnames=("rows", "block_k", "interpret"))
+                   static_argnames=("rows", "block_k", "pack", "interpret"))
 def orientation_hist_fused(values, ys0, xs0, par, rows: int,
-                           block_k: int = 8,
-                           interpret: bool = False):
+                           block_k: int = 0, pack: int = 1,
+                           interpret: bool = False, count=None):
     """values: [Hs, Ws] f32 row-stacked RAW Gaussian (or DoG) slab
     (ops/flatpyr.stack_pyramid, extra_rows >= rows); ys0/xs0: [K] i32
     aligned absolute window origins (stacked_origins); par: [K, NPAR] f32
-    (see layout above).  Returns [K, 36] f32 raw histograms."""
+    (see layout above).  ``pack``: keypoints per 128-lane compute window
+    (pack_factor of the static radius bound).  ``count``: live keypoint
+    count (valid-first order) — blocks past it are skipped, so runtime
+    scales with the frame content, not the capacity.  Returns [K, 36] f32
+    raw histograms (rows past ``count`` garbage)."""
+    if not block_k:
+        # Sublane-dim block sizes must be multiples of 8 AND of pack.
+        block_k = 24 if pack == 3 else 8
+    assert block_k % pack == 0 and block_k % 8 == 0
     k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
     if kp != k:
         ys0, xs0, par = _pad_args(ys0, xs0, par, k, kp)
+    cnt = jnp.full((1,), kp, jnp.int32) if count is None \
+        else jnp.minimum(count, kp).astype(jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(kp // block_k,),
         in_specs=[
             pl.BlockSpec((block_k, NPAR), lambda i, *_: (i, 0),
@@ -239,12 +352,12 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
     )
     out = pl.pallas_call(
         functools.partial(_ori_kernel, rows=rows, block_k=block_k,
-                          n_kpts=kp),
+                          n_kpts=kp, pack=pack),
         out_shape=jax.ShapeDtypeStruct((kp, _NBO), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ys0, xs0, par, values)
+    )(cnt, ys0, xs0, par, values)
     return out[:k]
 
 
@@ -253,7 +366,7 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
 # ---------------------------------------------------------------------------
 
 
-def _desc_kernel(ys_ref, xs_ref, par_ref, src_ref, out_ref,
+def _desc_kernel(cnt_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
                  wins, sems, *,
                  rows: int, block_k: int, n_kpts: int):
     i = pl.program_id(0)
@@ -261,77 +374,89 @@ def _desc_kernel(ys_ref, xs_ref, par_ref, src_ref, out_ref,
 
     @pl.when(i == 0)
     def _():
-        _start_dma(src_ref, ys_ref, xs_ref, wins, sems, 0, 0,
+        _start_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, 0, 0,
                    block_k, rows, n_kpts)
 
     @pl.when(i + 1 < nb)
     def _():
-        _start_dma(src_ref, ys_ref, xs_ref, wins, sems,
+        _start_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems,
                    (i + 1) % 2, i + 1, block_k, rows, n_kpts)
 
-    _wait_dma(src_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
+    _wait_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
               block_k, rows, n_kpts)
 
     for j in range(block_k):
-        win = _rolled_window(wins, i % 2, j, par_ref)
-        mag, ori = _grad_mag_ori(win)
-        offy, offx, wy, wx = _axis_vectors(par_ref, j, rows)
-        cos_t = par_ref[j, 9]
-        sin_t = par_ref[j, 10]
-        ang = par_ref[j, 11]
+        # Skip keypoints past the live count (valid-first order): their
+        # out rows stay garbage, discarded downstream by the validity
+        # mask.
+        @pl.when(i * block_k + j < cnt_ref[0])
+        def _(j=j):
+            _desc_one(par_ref, out_ref, wins, i % 2, j, rows)
 
-        c_rot = offx * cos_t - offy * sin_t        # [rows, LANES]
-        r_rot = offx * sin_t + offy * cos_t
-        rbin = r_rot + (_D / 2 - 0.5)
-        cbin = c_rot + (_D / 2 - 0.5)
-        inb = (rbin > -1.0) & (rbin < float(_D)) \
-            & (cbin > -1.0) & (cbin < float(_D))
-        mag_w = jnp.where(inb, mag * (wy * wx), 0.0)
 
-        # ori in [-180,180]; the mod folds it into [0, NBD).
-        ob = (ori - ang) * (_NBD / 360.0)
-        ob = ob - jnp.floor(ob * (1.0 / _NBD)) * _NBD
-        vo = []
-        for o in range(_NBD):
-            od = jnp.abs(ob - float(o))
-            vo.append(jnp.maximum(0.0, 1.0 - jnp.minimum(od, _NBD - od))
-                      * mag_w)
+def _desc_one(par_ref, out_ref, wins, slot, j, rows):
+    win = wins[slot, j]
+    mag, ori = _grad_mag_ori(win)
+    offy, offx, wy, wx = _axis_vectors(par_ref, j, rows)
+    cos_t = par_ref[j, 9]
+    sin_t = par_ref[j, 10]
+    ang = par_ref[j, 11]
 
-        hr = [jnp.maximum(0.0, 1.0 - jnp.abs(rbin - float(r)))
-              for r in range(_D)]
-        hc = [jnp.maximum(0.0, 1.0 - jnp.abs(cbin - float(c)))
-              for c in range(_D)]
+    c_rot = offx * cos_t - offy * sin_t        # [rows, LANES]
+    r_rot = offx * sin_t + offy * cos_t
+    rbin = r_rot + (_D / 2 - 0.5)
+    cbin = c_rot + (_D / 2 - 0.5)
+    inb = (rbin > -1.0) & (rbin < float(_D)) \
+        & (cbin > -1.0) & (cbin < float(_D))
+    mag_w = jnp.where(inb, mag * (wy * wx), 0.0)
 
-        # out[(r*D+c)*NBD+o] = sum(hr_r * hc_c * vo_o): sublane-reduce
-        # each bin to a [1, LANES] partial (cheap), stack all 128 into one
-        # [128, LANES] matrix, then ONE lane reduction finishes every bin
-        # (lane reductions are ~7x sublane reductions — never per-bin).
-        cols = []
-        for r in range(_D):
-            for c in range(_D):
-                t = hr[r] * hc[c]
-                for o in range(_NBD):
-                    cols.append(jnp.sum(t * vo[o], axis=0, keepdims=True))
-        m = jnp.concatenate(cols, axis=0)           # [128, LANES]
-        out_ref[j, :] = jnp.sum(m, axis=1)
+    # ori in [-180,180]; the mod folds it into [0, NBD).
+    ob = (ori - ang) * (_NBD / 360.0)
+    ob = ob - jnp.floor(ob * (1.0 / _NBD)) * _NBD
+    vo = []
+    for o in range(_NBD):
+        od = jnp.abs(ob - float(o))
+        vo.append(jnp.maximum(0.0, 1.0 - jnp.minimum(od, _NBD - od))
+                  * mag_w)
+
+    hr = [jnp.maximum(0.0, 1.0 - jnp.abs(rbin - float(r)))
+          for r in range(_D)]
+    hc = [jnp.maximum(0.0, 1.0 - jnp.abs(cbin - float(c)))
+          for c in range(_D)]
+
+    # out[(r*D+c)*NBD+o] = sum(hr_r * hc_c * vo_o): sublane-reduce
+    # each bin to a [1, LANES] partial (cheap), stack all 128 into one
+    # [128, LANES] matrix, then ONE lane reduction finishes every bin
+    # (lane reductions are ~7x sublane reductions — never per-bin).
+    cols = []
+    for r in range(_D):
+        for c in range(_D):
+            t = hr[r] * hc[c]
+            for o in range(_NBD):
+                cols.append(jnp.sum(t * vo[o], axis=0, keepdims=True))
+    m = jnp.concatenate(cols, axis=0)           # [128, LANES]
+    out_ref[j, :] = jnp.sum(m, axis=1)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("rows", "block_k", "interpret"))
 def descriptor_fused(values, ys0, xs0, par, rows: int,
                      block_k: int = 8,
-                     interpret: bool = False):
+                     interpret: bool = False, count=None):
     """values/origins/par as orientation_hist_fused (par additionally
-    carries cos_t, sin_t, ang).  Returns [K, 128] f32 raw descriptor
+    carries cos_t, sin_t, ang).  ``count``: live keypoint count — see
+    orientation_hist_fused.  Returns [K, 128] f32 raw descriptor
     histograms (pre-normalization, cell-major r, c, o —
-    finalize_descriptor order)."""
+    finalize_descriptor order; rows past ``count`` garbage)."""
     k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
     if kp != k:
         ys0, xs0, par = _pad_args(ys0, xs0, par, k, kp)
+    cnt = jnp.full((1,), kp, jnp.int32) if count is None \
+        else jnp.minimum(count, kp).astype(jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(kp // block_k,),
         in_specs=[
             pl.BlockSpec((block_k, NPAR), lambda i, *_: (i, 0),
@@ -353,5 +478,5 @@ def descriptor_fused(values, ys0, xs0, par, rows: int,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(ys0, xs0, par, values)
+    )(cnt, ys0, xs0, par, values)
     return out[:k]

@@ -53,7 +53,12 @@ def stream_compact(valid: jnp.ndarray, cap: int, block: int = 512):
     excl = incl - bc
 
     j = jnp.arange(cap, dtype=jnp.int32)
-    b = jnp.searchsorted(incl, j, side="right").astype(jnp.int32)
+    # Owning block of output slot j = #{blocks with incl <= j}: a dense
+    # fused compare+reduce.  (jnp.searchsorted lowers to a per-element
+    # binary-search while loop on TPU — measured ~1 ms per compaction at
+    # this size, ~50x this formulation.)
+    b = jnp.sum((incl[None, :] <= j[:, None]).astype(jnp.int32),
+                axis=1)
     b = jnp.clip(b, 0, nb - 1)
     rank = j - jnp.take(excl, b)                         # rank within block
     rows = jnp.take(m, b, axis=0)                        # [cap, block]

@@ -163,7 +163,7 @@ def _descriptor_hist(grad, octave, px, py, layer, scl, ang, valid,
 
 def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
                               valid, cfg: SiftConfig,
-                              interpret: bool = False):
+                              interpret: bool = False, count=None):
     """Fused-Pallas equivalent of ``compute_descriptors_flat``: ONE kernel
     DMAs each keypoint's raw Gaussian window and accumulates the rotated
     4x4x8 trilinear histogram in VMEM (kernels/fused_stages.py) — no
@@ -190,12 +190,12 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
 
     rmax = max_descr_radius(cfg)
     rows = window_rows(rmax)
-    ys0, xs0, off, dy0, dx0 = stacked_origins(
-        slab, octave, layer, py, px, rmax)
     h, w = slab.octave_geometry(octave)
     diag = jnp.sqrt((h * h + w * w).astype(jnp.float32))
     radius = jnp.minimum(
         jnp.round(hist_width * math.sqrt(2.0) * (_D + 1) * 0.5), diag)
+    ys0, xs0, off, dy0, dx0 = stacked_origins(
+        slab, octave, layer, py, px, jnp.minimum(radius, float(rmax)))
     hf = h.astype(jnp.float32)
     wf = w.astype(jnp.float32)
     pyf = py.astype(jnp.float32)
@@ -217,7 +217,7 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
     par = par.at[:, 11].set(ang)
     par = par.at[:, 12].set(off.astype(jnp.float32))
     hist = descriptor_fused(slab.values, ys0, xs0, par, rows,
-                            interpret=interpret)
+                            interpret=interpret, count=count)
     return finalize_descriptor(hist)
 
 

@@ -81,36 +81,52 @@ def shift_copies(p: PaddedPyramid, n: int = 4) -> PaddedPyramid:
 
 
 class StackedPyramid(NamedTuple):
-    """Row-stacked pyramid: every (octave, layer) plane at its NATURAL
-    height, concatenated over rows into one [Hs, Ws] slab (plane starts
-    8-row aligned; Ws = align128(W0) + 128 lanes of slack so 128-aligned
-    window origins never need a right clamp).
+    """Row-stacked pyramid: every kept (octave, layer) plane at its
+    NATURAL height, concatenated over rows into one [Hs, Ws] slab (plane
+    starts 8-row aligned; Ws = align128(W0) + 128 lanes of slack so
+    128-aligned window origins never need a right clamp), then the whole
+    slab repeated ``copies`` times, copy c lane-shifted LEFT by
+    c * 128/copies.
 
-    This is the fused Pallas kernels' DMA source.  Unlike PaddedPyramid
-    (every octave embedded in an octave-0-sized slab, optionally
-    lane-shift-copied 4x) it costs ~2 x D x H0 x Ws total — ~25x less HBM
-    at 1920x1200 — because octave heights halve instead of repeating and
-    there are no shifted copies: the kernels DMA a rows x 256 block and
-    dynamically roll the patch into its first 128 lanes in VMEM."""
+    This is the fused Pallas kernels' DMA source.  The copy whose shift
+    puts a keypoint's patch within the first 128/copies lanes of a
+    128-aligned block is selected per keypoint (stacked_origins), so the
+    kernels DMA exactly [rows, 128] with the patch at a lane offset
+    < 128/copies — no dynamic in-VMEM roll on the hot path.  Keeping only
+    the layers keypoints reference (Gaussian layers 1..L) offsets the
+    copy cost: 4 copies x 3 of 6 layers = 2x one full-layer slab
+    (~41 MB at 752x480, ~250 MB at 1920x1200 — vs the reference's
+    84/298 MiB total footprint, readme.md:16)."""
 
-    values: jnp.ndarray   # [Hs, Ws] f32
+    values: jnp.ndarray   # [copies*Hs, Ws] f32
     row_off: jnp.ndarray  # [O*D] i32 start row of plane octave*D + layer
+                          # (layers outside [layer_lo, layer_hi) clamped)
     height: jnp.ndarray   # [O] valid height per octave
     width: jnp.ndarray    # [O]
-    layers: int           # D (static)
+    layers: int           # D (static; row_off is indexed with full-D lrel)
+    copies: int           # lane-shifted copy count (128 % copies == 0)
+    copy_rows: int        # Hs — row stride between copies
 
     def octave_geometry(self, octave: jnp.ndarray):
         return jnp.take(self.height, octave), jnp.take(self.width, octave)
 
 
-def stack_pyramid(blocks: List[jnp.ndarray],
-                  extra_rows: int = 0) -> StackedPyramid:
+def stack_pyramid(blocks: List[jnp.ndarray], extra_rows: int = 0,
+                  copies: int = 1, layer_lo: int = 0,
+                  layer_hi: int = 0) -> StackedPyramid:
     """blocks: per-octave [D, H_o, W_o], octave 0 largest.  ``extra_rows``:
     bottom margin >= the largest window row count, so clamped window
     origins inside the LAST plane stay in-bounds (reads past a plane's
     valid rows land in the next plane — garbage by contract, always
-    masked by the consumers' bounds tests)."""
+    masked by the consumers' bounds tests).  ``layer_lo/hi``: keep only
+    planes [layer_lo, layer_hi) per octave (keypoints only ever reference
+    Gaussian layers 1..L, ops/refine_dense.py oob test); out-of-range
+    layer indices in row_off are clamped (invalid keypoints may carry
+    them — reads are masked, but must stay in-bounds)."""
     d, h0, w0 = blocks[0].shape
+    layer_hi = layer_hi or d
+    nl = layer_hi - layer_lo
+    assert copies in (1, 2, 4) and 128 % copies == 0
     ws = -(-max(w0, 128) // 128) * 128 + 128
     slabs, offs, hs, wws = [], [], [], []
     row = 0
@@ -118,40 +134,67 @@ def stack_pyramid(blocks: List[jnp.ndarray],
         bd, h, w = b.shape
         ha = -(-h // 8) * 8
         for l in range(bd):
-            offs.append(row + l * ha)
+            lc = min(max(l, layer_lo), layer_hi - 1)
+            offs.append(row + (lc - layer_lo) * ha)
         slabs.append(jnp.pad(
-            b, ((0, 0), (0, ha - h), (0, ws - w))).reshape(bd * ha, ws))
-        row += bd * ha
+            b[layer_lo:layer_hi],
+            ((0, 0), (0, ha - h), (0, ws - w))).reshape(nl * ha, ws))
+        row += nl * ha
         hs.append(h)
         wws.append(w)
     if extra_rows:
         pad = -(-extra_rows // 8) * 8
         slabs.append(jnp.zeros((pad, ws), blocks[0].dtype))
+        row += pad
+    base = jnp.concatenate(slabs, axis=0)
+    if copies > 1:
+        step = 128 // copies
+        vals = jnp.concatenate(
+            [base] + [jnp.pad(base[:, step * c:], ((0, 0), (0, step * c)))
+                      for c in range(1, copies)], axis=0)
+    else:
+        vals = base
     return StackedPyramid(
-        values=jnp.concatenate(slabs, axis=0),
+        values=vals,
         row_off=jnp.asarray(np.array(offs, np.int32)),
         height=jnp.asarray(np.array(hs, np.int32)),
         width=jnp.asarray(np.array(wws, np.int32)),
-        layers=d)
+        layers=d, copies=copies, copy_rows=row)
 
 
 def stacked_origins(src: StackedPyramid, octave, layer, cy, cx,
-                    radius: int):
+                    radius):
     """Window origins on a stacked slab for the fused Pallas kernels.
 
-    Returns (ys0, xs0, off, dy0, dx0): absolute aligned DMA origins, the
-    dynamic lane roll (patch starts ``off`` lanes into the 256-lane DMA
-    window; 0 <= off < 128), and the window[0, 0] offsets relative to the
-    keypoint center.  Patch + gradient-halo contract: radius <= 62
-    (2*(radius+1) <= 126 lanes after the roll)."""
-    m = radius + 1
+    ``radius``: per-KEYPOINT patch radius (dynamic array or int) — using
+    each keypoint's own radius anchors its patch at window row <= 8 /
+    lane offset < 128/copies, so the descriptor kernel's row-tile count
+    (par col 13, derived from the same radius) covers exactly the rows
+    the patch occupies.
+
+    Returns (ys0, xs0, off, dy0, dx0): absolute aligned [rows, 128] DMA
+    origins (copy-selected so the patch starts ``off`` < 128/copies lanes
+    into the window), and the window[0, 0] offsets relative to the
+    keypoint center.  Patch + gradient-halo contract:
+    2*(radius+1) + 1 + (128/copies - 1) <= 128 (copies=4: radius <= 46)."""
+    m = jnp.asarray(radius).astype(jnp.int32) + 1
     lrel = octave.astype(jnp.int32) * src.layers + layer.astype(jnp.int32)
     base = jnp.take(src.row_off, lrel)
     ys_rel = jnp.maximum((cy - m) // SUBLANE_ * SUBLANE_, 0)
     xlo = jnp.maximum(cx - m, 0)
-    xs0 = (xlo // 128) * 128
+    if src.copies == 1:
+        xs0 = (xlo // 128) * 128
+        off = xlo - xs0
+    else:
+        step = 128 // src.copies
+        q = xlo // step
+        c = q % src.copies
+        b = q // src.copies
+        xs0 = b * 128
+        off = xlo - (step * c + xs0)              # = xlo % step
+        base = base + c * src.copy_rows
     return ((base + ys_rel).astype(jnp.int32), xs0.astype(jnp.int32),
-            (xlo - xs0).astype(jnp.int32), ys_rel - cy, xlo - cx)
+            off.astype(jnp.int32), ys_rel - cy, (xlo - off) - cx)
 
 
 SUBLANE_ = 8

@@ -127,7 +127,8 @@ def _hist_chunk(mag, ori, octave, px, py, layer, sigma_ori, radius, valid,
 
 def orientation_histograms_fused(slab, octave, x, y, layer,
                                  size, valid, cfg: SiftConfig,
-                                 interpret: bool = False) -> jnp.ndarray:
+                                 interpret: bool = False,
+                                 count=None) -> jnp.ndarray:
     """Fused-Pallas equivalent of ``orientation_histograms_flat``: ONE
     kernel DMAs each keypoint's raw source window (Gaussian by default;
     the DoG block in the reference's orientation_source="dog" mode) and
@@ -135,7 +136,8 @@ def orientation_histograms_fused(slab, octave, x, y, layer,
     no HBM intermediates.  ``slab``: row-stacked RAW pyramid
     (ops/flatpyr.StackedPyramid, extra_rows >= this stage's window
     rows)."""
-    from sift_tpu.kernels.fused_stages import NPAR, orientation_hist_fused
+    from sift_tpu.kernels.fused_stages import (NPAR, orientation_hist_fused,
+                                               pack_factor)
     from sift_tpu.kernels.window_gather import window_rows
     from sift_tpu.ops.flatpyr import stacked_origins
 
@@ -149,7 +151,7 @@ def orientation_histograms_fused(slab, octave, x, y, layer,
     rmax = max_ori_radius(cfg)
     rows = window_rows(rmax)
     ys0, xs0, off, dy0, dx0 = stacked_origins(
-        slab, octave, layer, py, px, rmax)
+        slab, octave, layer, py, px, jnp.minimum(radius, float(rmax)))
     h, w = slab.octave_geometry(octave)
     hf = h.astype(jnp.float32)
     wf = w.astype(jnp.float32)
@@ -170,7 +172,8 @@ def orientation_histograms_fused(slab, octave, x, y, layer,
     par = par.at[:, 8].set(valid.astype(jnp.float32))
     par = par.at[:, 12].set(off.astype(jnp.float32))
     return orientation_hist_fused(slab.values, ys0, xs0, par, rows,
-                                  interpret=interpret)
+                                  pack=pack_factor(rmax),
+                                  interpret=interpret, count=count)
 
 
 def orientation_histograms(block: jnp.ndarray, x, y, layer, size, valid,

@@ -15,26 +15,42 @@ indices.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from sift_tpu.ops.compact import stream_compact
 
 
+def _edge(a, ax):
+    """Shape of a 1-thick slice of ``a`` along axis ``ax``."""
+    s = list(a.shape)
+    s[ax] = 1
+    return tuple(s)
+
+
 def peak_mask(dog: jnp.ndarray, threshold: float, border: int):
     """dog: [D, H, W].  Returns (mask, score) of shape [D-2, H, W] aligned to
     DoG layers 1..D-2 (the candidate layer index is l+1, MatOps.cu:149-181)."""
-    from jax import lax
-
     d, h, w = dog.shape
     c = dog[1:-1]
 
     # 3x3x3 max/min pooling over (layer, y, x): the window includes the
     # center, and "c is a >= / <= extremum over 26 neighbors" is exactly
-    # "c equals the 27-window max/min".
-    mx = lax.reduce_window(dog, -jnp.inf, lax.max, (3, 3, 3), (1, 1, 1),
-                           "SAME")[1:-1]
-    mn = lax.reduce_window(dog, jnp.inf, lax.min, (3, 3, 3), (1, 1, 1),
-                           "SAME")[1:-1]
+    # "c equals the 27-window max/min".  Separable shifted-pad passes
+    # (2 ops per axis) — lax.reduce_window lowers ~8x slower here.
+    def pool3(a, op, pad):
+        for ax in (0, 1, 2):
+            lo = jnp.concatenate(
+                [jnp.full(_edge(a, ax), pad, a.dtype),
+                 jax.lax.slice_in_dim(a, 0, a.shape[ax] - 1, axis=ax)], ax)
+            hi = jnp.concatenate(
+                [jax.lax.slice_in_dim(a, 1, a.shape[ax], axis=ax),
+                 jnp.full(_edge(a, ax), pad, a.dtype)], ax)
+            a = op(op(a, lo), hi)
+        return a
+
+    mx = pool3(dog, jnp.maximum, -jnp.inf)[1:-1]
+    mn = pool3(dog, jnp.minimum, jnp.inf)[1:-1]
 
     is_max = (c > 0) & (c >= mx)
     is_min = (c < 0) & (c <= mn)

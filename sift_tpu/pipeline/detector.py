@@ -100,32 +100,39 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         # a PACKED (mag, ori) slab — one gather per window; orientation
         # keeps the full-precision pair (its 1-degree parity gate is
         # sensitive to quantization).
-        # The fused kernels' rolled-window contract holds for patch
-        # radius <= 62 (2*(radius+1) <= 126 lanes after the dynamic
-        # roll, ops/flatpyr.stacked_origins); the flat path's 128-lane
-        # shifted-copy contract needs radius <= 47.  Legal configs with
-        # larger sigma fall back to unshifted 256-lane windows instead
-        # of silently dropping patch-edge pixels.
+        # The fused kernels' copy-selected window contract holds for
+        # patch radius <= 46 (patch + halo + the 32-lane residual offset
+        # within one 128-lane DMA, ops/flatpyr.stacked_origins); the flat
+        # path's 128-lane shifted-copy contract needs radius <= 47.
+        # Legal configs with larger sigma fall back to unshifted 256-lane
+        # windows instead of silently dropping patch-edge pixels.
         from sift_tpu.kernels.window_gather import window_rows
         from sift_tpu.ops.descriptor import max_descr_radius
         from sift_tpu.ops.flatpyr import resolve_gather_impl, stack_pyramid
         from sift_tpu.ops.orientation import max_ori_radius
         rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
         impl = resolve_gather_impl(cfg.gather_impl)
-        fused = rmax <= 62 and impl in ("pallas", "pallas_interpret")
+        fused = rmax <= 46 and impl in ("pallas", "pallas_interpret")
         interp = impl == "pallas_interpret"
 
         if fused:
             # Fused-Pallas path (TPU): the kernels DMA RAW pixel windows
-            # off ONE row-stacked slab and compute gradients + histograms
-            # in VMEM — no dense gradient slabs, no slab copies
-            # (kernels/fused_stages.py).
-            slab_g = stack_pyramid(gauss, extra_rows=window_rows(rmax))
+            # off ONE row-stacked 4-copy slab (keypoint layers 1..L only)
+            # and compute gradients + histograms in VMEM — no dense
+            # gradient slabs (kernels/fused_stages.py).
+            nl = cfg.num_octave_layers
+            margin = window_rows(rmax)
+            slab_g = stack_pyramid(gauss, extra_rows=margin,
+                                   copies=4, layer_lo=1, layer_hi=nl + 1)
             ori_slab = slab_g if cfg.orientation_source == "gaussian" \
-                else stack_pyramid(dogs, extra_rows=window_rows(rmax))
+                else stack_pyramid(dogs, extra_rows=margin,
+                                   copies=4, layer_lo=1, layer_hi=nl + 1)
+            # Live counts let the kernels skip whole blocks past the
+            # frame's actual keypoint count (compactions are valid-first).
+            n_kp = jnp.sum(val.astype(jnp.int32))
             hist = O.orientation_histograms_fused(
                 ori_slab, koct, kx, ky, klyr, ksize, val, cfg,
-                interpret=interp)
+                interpret=interp, count=n_kp)
         else:
             fits_128 = rmax <= 47
             shift = shift_copies if fits_128 else (lambda p: p)
@@ -159,7 +166,8 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         if fused:
             desc, nrm2 = D.compute_descriptors_fused(
                 slab_g, kps.octave, kps.x, kps.y, kps.layer, kps.size,
-                kps.angle, kps.valid, cfg, interpret=interp)
+                kps.angle, kps.valid, cfg, interpret=interp,
+                count=jnp.sum(evalid.astype(jnp.int32)))
         else:
             desc, nrm2 = D.compute_descriptors_flat(
                 gradf, kps.octave, kps.x, kps.y, kps.layer, kps.size,

@@ -56,13 +56,15 @@ def main(argv=None):
             return img, (jnp.sum(res.descriptors)
                          + jnp.sum(res.keypoints.x))
 
-        img = jax.device_put(jnp.asarray(
-            np.clip(rng.normal(128, 40, (h, w)), 0, 255), jnp.float32))
+        from sift_tpu.perf.benchimg import bench_image
+        img = jax.device_put(jnp.asarray(bench_image(h, w), jnp.float32))
+        count = int(jax.jit(detect)(img).count)
         ms = measure_ms(step, img)
         name = f"detect_compute_{w}x{h}"
         base = BASELINES_MS.get(name)
         print(json.dumps({
             "metric": name, "value": round(ms, 4), "unit": "ms",
+            "keypoints": count,
             "vs_baseline": round(ms / base, 4) if base else None}))
 
     # Brute-force matching (readme.md:11: 2000x2000 in < 1 ms).

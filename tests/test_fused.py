@@ -38,7 +38,8 @@ def fused_setup():
 
     gauss = pad_pyramid(blocks)
     rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
-    slab = stack_pyramid(blocks, extra_rows=window_rows(rmax))
+    slab = stack_pyramid(blocks, extra_rows=window_rows(rmax), copies=4,
+                         layer_lo=1, layer_hi=L - 2)
 
     K = 48
     octv = rng.integers(0, 3, K).astype(np.int32)
@@ -108,5 +109,6 @@ def test_detector_fused_end_to_end(test_image):
                                np.asarray(rp.keypoints.x[:n]), atol=1e-4)
     np.testing.assert_allclose(np.asarray(rf.keypoints.angle[:n]),
                                np.asarray(rp.keypoints.angle[:n]), atol=0.05)
-    dd = np.abs(np.asarray(rf.descriptors[:n]) - np.asarray(rp.descriptors[:n]))
+    dd = np.abs(np.asarray(rf.descriptors[:n], np.int32)
+                - np.asarray(rp.descriptors[:n], np.int32))
     assert dd.max() <= 1.0
