@@ -82,6 +82,12 @@ class SiftConfig:
     # "pallas_interpret" (fused Pallas kernels in interpreter mode — slow;
     # CPU testing of the production TPU path only).
     gather_impl: str = "auto"
+    # Keypoint refinement: "dense" precomputes the Newton record for every
+    # DoG pixel (fastest; the field is the pipeline's largest buffer —
+    # ~220 MB for octave 0 at 1920x1200), "gather" recomputes the 3x3x3
+    # stencil per candidate per step (~40% less peak HBM, ~35% slower
+    # end-to-end at 1920x1200).  Identical results (tests/test_refine_dense).
+    refine_impl: str = "dense"
     # Descriptor storage dtype.  "uint8": 0..255-quantized descriptors are
     # stored as one byte each (4x less result memory/transfer) and the
     # matcher runs its Gram matmul in bf16 — bit-identical match indices
@@ -108,6 +114,8 @@ class SiftConfig:
         if self.descriptor_dtype not in ("uint8", "float32"):
             raise ValueError("descriptor_dtype must be 'uint8' or "
                              "'float32'")
+        if self.refine_impl not in ("dense", "gather"):
+            raise ValueError("refine_impl must be 'dense' or 'gather'")
 
     @property
     def num_octaves(self) -> int:

@@ -68,7 +68,9 @@ class MonocularOdometry:
                  kf_interval: int = 4, loop_min_gap: int = 8,
                  loop_min_matches: int = 25, loop_min_inliers: int = 20,
                  loop_edge_weight: float = 5.0,
-                 loop_max_candidates: int = 8):
+                 loop_max_candidates: int = 8, telemetry=None):
+        from sift_tpu.perf.telemetry import get as _tel_get
+        self.telemetry = _tel_get(telemetry)
         self.detector = SiftDetector(config, tiers=tiers)
         self.fx, self.fy, self.cx, self.cy = fx, fy, cx, cy
         self.ratio = ratio
@@ -166,6 +168,13 @@ class MonocularOdometry:
                 self._keyframes.append((fidx, res, dict(self._prev_lms)))
                 self._kf_sigs.append(self._signature(res))
             self._try_loop_closure(res, fidx)
+        self.telemetry.emit(
+            "frame", frame=fidx, mode=out.modes[-1],
+            keypoints=int(res.count), matches=out.n_matches[-1],
+            inliers=out.n_inliers[-1], landmarks=len(self._points),
+            keyframes=len(self._keyframes), closures=len(self.closures))
+        self.telemetry.count("frames")
+        self.telemetry.count("mode_" + out.modes[-1])
         return self._pose_mat(-1)
 
     # ------------------------------------------------------------------
@@ -187,6 +196,11 @@ class MonocularOdometry:
             return False
         r_w = np.asarray(r, np.float32)
         t_w = np.asarray(t, np.float32)
+        if not (np.isfinite(r_w).all() and np.isfinite(t_w).all()):
+            # Degenerate geometry (e.g. the scene left the view): a NaN
+            # pose would poison every subsequent frame through the
+            # constant-velocity fallback.
+            return False
         out.rotations.append(r_w)
         out.translations.append(t_w)
         out.n_inliers.append(n_inl)
@@ -226,6 +240,8 @@ class MonocularOdometry:
         t_rel = np.asarray(tv.translation)
         r_w = (r_rel @ prev_r).astype(np.float32)
         t_w = (r_rel @ prev_t + t_rel).astype(np.float32)
+        if not (np.isfinite(r_w).all() and np.isfinite(t_w).all()):
+            return False
         out.rotations.append(r_w)
         out.translations.append(t_w)
         out.n_inliers.append(n_inl)
@@ -340,6 +356,8 @@ class MonocularOdometry:
         if n_inl < self.loop_min_inliers:
             return
         self.closures.append((kf_fidx, fidx, n_inl))
+        self.telemetry.emit("loop_closure", frame=fidx,
+                            keyframe=kf_fidx, inliers=n_inl)
 
         # Pose graph over all frames: sequential odometry edges + the
         # closure edge anchoring the corrected current pose to the
@@ -429,13 +447,23 @@ class MonocularOdometry:
             valid=jnp.ones(len(obs), bool),
             fx=jnp.float32(self.fx), fy=jnp.float32(self.fy),
             cx=jnp.float32(self.cx), cy=jnp.float32(self.cy))
-        ba = lm_optimize(prob, iterations=6)
+        with self.telemetry.timer("window_ba"):
+            ba = lm_optimize(prob, iterations=6)
+        self.telemetry.emit("window_ba", frame=fidx, cams=len(frames),
+                            points=len(lms), obs=len(obs),
+                            cost=float(ba.cost))
+        rot = np.asarray(ba.rotations)
+        tr = np.asarray(ba.translations)
+        pts = np.asarray(ba.points)
+        if not (np.isfinite(rot).all() and np.isfinite(tr).all()
+                and np.isfinite(pts).all()):
+            return  # diverged LM: keep the tracked poses
         for f in frames:
             i = fmap[f]
-            out.rotations[f] = np.asarray(ba.rotations[i])
-            out.translations[f] = np.asarray(ba.translations[i])
+            out.rotations[f] = rot[i]
+            out.translations[f] = tr[i]
         for lm in lms:
-            self._points[lm] = np.asarray(ba.points[lmap[lm]])
+            self._points[lm] = pts[lmap[lm]]
 
     @staticmethod
     def _signature(res) -> np.ndarray:

@@ -16,7 +16,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-NEG = jnp.float32(-3.0e38)
+# Plain float, NOT jnp.float32: a module-level jnp value initializes the
+# XLA backend at import time, which breaks jax.distributed.initialize
+# (it must run before any backend touch — parallel/multihost.py).
+NEG = -3.0e38
 
 
 def stream_compact(valid: jnp.ndarray, cap: int, block: int = 512):

@@ -30,14 +30,16 @@ _CROSS_DERIV_SCALE = _IMG_SCALE * 0.25
 
 
 def _dense_records(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
-    """dog [D, H, W] -> records [D, H, W, 8] (boundary pixels garbage;
-    the walk never consults them for live candidates)."""
+    """dog [D, H, W] -> records [D-2, H, W, 8] for layers 1..D-2 only
+    (boundary pixels garbage; the walk never consults them for live
+    candidates, and any Newton step out of layers [1, D-2] kills its
+    candidate — so end layers are never needed)."""
     d, h, w = dog.shape
 
     def sh(dl, dr, dc):
-        return jnp.roll(dog, (-dl, -dr, -dc), axis=(0, 1, 2))
+        return jnp.roll(dog, (-dl, -dr, -dc), axis=(0, 1, 2))[1:d - 1]
 
-    v = dog
+    v = dog[1:d - 1]
     dx = (sh(0, 0, 1) - sh(0, 0, -1)) * _DERIV_SCALE
     dy = (sh(0, 1, 0) - sh(0, -1, 0)) * _DERIV_SCALE
     ds = (sh(1, 0, 0) - sh(-1, 0, 0)) * _DERIV_SCALE
@@ -92,8 +94,8 @@ def refine_keypoints_dense(dog: jnp.ndarray, cx, cy, clayer, cvalid,
     rec = _dense_records(dog, cfg).reshape(-1, 8)
 
     def fetch(l, r, c):
-        idx = (jnp.clip(l, 0, d - 1) * h + jnp.clip(r, 0, h - 1)) * w \
-            + jnp.clip(c, 0, w - 1)
+        idx = ((jnp.clip(l, 1, d - 2) - 1) * h
+               + jnp.clip(r, 0, h - 1)) * w + jnp.clip(c, 0, w - 1)
         return jnp.take(rec, idx, axis=0)           # [K, 8]
 
     c = cx.astype(jnp.int32)

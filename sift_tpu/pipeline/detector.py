@@ -42,6 +42,7 @@ from sift_tpu.ops.flatpyr import (dense_gradients_packed,
                                   shift_copies)
 from sift_tpu.ops.peaks import find_candidates
 from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
+from sift_tpu.ops.refine import refine_keypoints
 from sift_tpu.ops.refine_dense import refine_keypoints_dense
 
 
@@ -70,7 +71,9 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
             op = plan.octaves[o]
             cx, cy, clyr, cval = find_candidates(
                 dogs[o], cfg.peak_threshold, SIFT_IMG_BORDER, op.cand_cap)
-            ref = refine_keypoints_dense(dogs[o], cx, cy, clyr, cval, o, cfg)
+            refine = refine_keypoints_dense if cfg.refine_impl == "dense" \
+                else refine_keypoints
+            ref = refine(dogs[o], cx, cy, clyr, cval, o, cfg)
             rx.append(ref.x)
             ry.append(ref.y)
             rlyr.append(ref.layer)

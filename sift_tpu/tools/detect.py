@@ -45,7 +45,14 @@ def main(argv=None):
     if args.debug_path:
         from sift_tpu.perf.checkpoint import capture_golden
         capture_golden(cfg, img, args.debug_path)
-        print(f"golden checkpoint written to {args.debug_path}")
+        try:
+            from sift_tpu.perf.oracle import capture_oracle
+            capture_oracle(cfg, img, args.debug_path)
+            print(f"golden checkpoint + cv2 oracle written to "
+                  f"{args.debug_path}")
+        except ImportError:
+            print(f"golden checkpoint written to {args.debug_path} "
+                  f"(no cv2: oracle skipped)")
 
     if args.profile:
         jax.profiler.start_trace(args.profile)

@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--loop-min-gap", type=int, default=8)
     p.add_argument("--loop-min-matches", type=int, default=25)
     p.add_argument("--num-features", type=int, default=2000)
+    p.add_argument("--telemetry", default=None,
+                   help="write per-frame JSONL telemetry to this path")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -71,6 +73,9 @@ def main(argv=None):
     dt = time.perf_counter() - t0
     print(f"processed {len(frames)} frames in {dt:.2f}s "
           f"({len(frames) / dt:.2f} frames/s incl. compile)")
+    if args.telemetry:
+        odo.telemetry.write_jsonl(args.telemetry)
+        print(f"telemetry written to {args.telemetry}")
     if args.loop_closure:
         print(f"loop closures: {odo.closures}")
 

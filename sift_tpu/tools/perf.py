@@ -18,6 +18,11 @@ def main(argv=None):
                    help="run only this stage (filter, resize, minus, "
                         "find_peaks, adjust_pts, orientation_hist, "
                         "descriptor)")
+    p.add_argument("--oracle", action="store_true",
+                   help="also gate a fresh pipeline run against the "
+                        "recorded cv2.SIFT oracle (oracle.npz; the "
+                        "INDEPENDENT parity check — golden replay alone "
+                        "only catches regressions against ourselves)")
     args = p.parse_args(argv)
 
     from sift_tpu.perf.checkpoint import load_golden
@@ -32,6 +37,20 @@ def main(argv=None):
         ok, info = getattr(rep, f"run_{name}")()
         all_ok &= bool(ok)
         print(f"{'PASS' if ok else 'FAIL'}  {name:18s} {info}")
+
+    if args.oracle:
+        from sift_tpu.perf.oracle import has_oracle, verify_oracle
+        if not has_oracle(args.path):
+            print("FAIL  oracle             {missing oracle.npz}")
+            all_ok = False
+        else:
+            checks = verify_oracle(args.path)
+            for name in ("recall", "precision", "descriptor"):
+                c = checks[name]
+                ok = c.pop("ok")
+                all_ok &= ok
+                print(f"{'PASS' if ok else 'FAIL'}  "
+                      f"oracle_{name:11s} {c}")
     sys.exit(0 if all_ok else 1)
 
 

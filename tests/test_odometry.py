@@ -13,9 +13,10 @@ W, H = 320, 240
 FX = 0.9 * W
 
 
-def render_sequence(n_frames=8, seed=5, n_pts=160):
+def render_sequence(n_frames=8, seed=5, n_pts=160, step=1.0):
     """Textured 3D blob cloud viewed from a smooth lateral+forward
-    trajectory with slight yaw.  Returns (frames, gt_positions)."""
+    trajectory with slight yaw.  Returns (frames, gt_positions,
+    gt_poses): positions [N, 3] and cam-to-world 4x4 pose mats."""
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -23,12 +24,12 @@ def render_sequence(n_frames=8, seed=5, n_pts=160):
     radii = rng.uniform(0.06, 0.3, n_pts)
     vals = rng.uniform(60, 255, n_pts)
 
-    frames, gt_pos = [], []
+    frames, gt_pos, gt_poses = [], [], []
     for i in range(n_frames):
-        ang = 0.01 * i
+        ang = 0.01 * step * i
         c, s = np.cos(ang), np.sin(ang)
         r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
-        center = np.array([-0.22 * i, 0.03 * i, 0.12 * i])
+        center = np.array([-0.22, 0.03, 0.12]) * step * i
         t = -r @ center
         img = np.zeros((H, W), np.float32)
         pc = pts @ r.T + t
@@ -43,7 +44,11 @@ def render_sequence(n_frames=8, seed=5, n_pts=160):
         img += rng.normal(0, 3, (H, W)).astype(np.float32)
         frames.append(np.clip(img, 0, 255))
         gt_pos.append(center)
-    return frames, np.stack(gt_pos)
+        pose = np.eye(4)
+        pose[:3, :3] = r.T
+        pose[:3, 3] = center
+        gt_poses.append(pose)
+    return frames, np.stack(gt_pos), gt_poses
 
 
 @pytest.fixture(scope="module")
@@ -61,7 +66,7 @@ def _run_odometry(frames, **kw):
 
 
 def test_odometry_ate(sequence):
-    frames, gt = sequence
+    frames, gt, _ = sequence
     odo = _run_odometry(frames)
     est = odo.result.positions()
     assert len(est) == len(gt)
@@ -76,14 +81,14 @@ def test_odometry_ate(sequence):
 
 
 def test_odometry_with_window_ba(sequence):
-    frames, gt = sequence
+    frames, gt, _ = sequence
     odo = _run_odometry(frames, ba_interval=3, ba_window=4)
     ate = ate_rmse(odo.result.positions(), gt, with_scale=True)
     assert ate < 0.15, f"ATE with BA {ate}"
 
 
 def test_odometry_poses_consistent(sequence):
-    frames, _ = sequence
+    frames, _, _ = sequence
     odo = _run_odometry(frames[:3])
     poses = odo.result.poses_cam_to_world()
     np.testing.assert_allclose(poses[0], np.eye(4), atol=1e-6)
@@ -91,3 +96,106 @@ def test_odometry_poses_consistent(sequence):
     np.testing.assert_allclose(pos[0], 0, atol=1e-6)
     # camera moves between frames
     assert np.linalg.norm(pos[2] - pos[1]) > 1e-3
+
+
+def render_corridor(n_frames=60, seed=5, n_pts=900):
+    """Forward flythrough of a long textured corridor (points keep
+    entering the view, so arbitrary sequence lengths stay trackable).
+    Returns (frames, gt_positions, gt_poses cam-to-world)."""
+    import cv2
+
+    rng = np.random.default_rng(seed)
+    pts = rng.uniform([-8, -5, 2], [8, 5, 60], (n_pts, 3))
+    radii = rng.uniform(0.08, 0.35, n_pts)
+    vals = rng.uniform(60, 255, n_pts)
+    frames, gt_pos, gt_poses = [], [], []
+    for i in range(n_frames):
+        ang = 0.05 * np.sin(0.08 * i)
+        c, s = np.cos(ang), np.sin(ang)
+        r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+        center = np.array([0.5 * np.sin(0.1 * i), 0.02 * i, 0.45 * i])
+        t = -r @ center
+        img = np.zeros((H, W), np.float32)
+        pc = pts @ r.T + t
+        order = np.argsort(-pc[:, 2])
+        for j in order:
+            if pc[j, 2] <= 0.5:
+                continue
+            u = pc[j, 0] / pc[j, 2] * FX + W / 2
+            v = pc[j, 1] / pc[j, 2] * FX + H / 2
+            rad = max(2, int(radii[j] / pc[j, 2] * FX))
+            cv2.circle(img, (int(u), int(v)), rad, float(vals[j]), -1)
+        img += rng.normal(0, 3, (H, W)).astype(np.float32)
+        frames.append(np.clip(img, 0, 255))
+        gt_pos.append(center)
+        pose = np.eye(4)
+        pose[:3, :3] = r.T
+        pose[:3, 3] = center
+        gt_poses.append(pose)
+    return frames, np.stack(gt_pos), gt_poses
+
+
+def test_odometry_cli_tum_sequence(tmp_path, capsys):
+    """End-to-end TUM-format gate (BASELINE configs #4/#5): a rendered
+    60-frame, 26.6-unit corridor flythrough written as a TUM dataset on
+    disk, run through the tools/odometry.py CLI with windowed BA,
+    ATE/RPE computed against the TUM ground-truth file, estimated
+    trajectory round-tripped through TUM IO.  Measured: ATE ~0.29 with
+    BA (1.1% of trajectory length; ~1.65 without BA)."""
+    import re
+
+    import cv2
+
+    from sift_tpu.geometry import trajectory as T
+    from sift_tpu.tools import odometry as cli
+
+    frames, gt_pos, gt_poses = render_corridor()
+    seq = tmp_path / "seq"
+    seq.mkdir()
+    for i, f in enumerate(frames):
+        cv2.imwrite(str(seq / f"frame_{i:04d}.png"), f.astype(np.uint8))
+    gt_file = tmp_path / "gt.tum"
+    T.write_tum_trajectory(str(gt_file), np.arange(60, dtype=float),
+                           gt_poses)
+
+    out_file = tmp_path / "est.tum"
+    cli.main([str(seq), "--fx", str(FX), "--num-features", "800",
+              "--ba-interval", "5", "--ba-window", "6",
+              "--out", str(out_file), "--gt", str(gt_file)])
+    out = capsys.readouterr().out
+    m = re.search(r"ATE \(Sim3-aligned RMSE\): ([0-9.]+)", out)
+    assert m, out
+    ate = float(m.group(1))
+    # 2.3% of the 26.6-unit trajectory (fails without BA at ~6%).
+    assert ate < 0.6, out
+
+    ts, est_poses = T.read_tum_trajectory(str(out_file))
+    assert len(est_poses) == 60
+    est_p = np.stack([p[:3, 3] for p in est_poses])
+    assert abs(T.ate_rmse(est_p, gt_pos, with_scale=True) - ate) < 1e-5
+
+
+def test_telemetry_stream(sequence, tmp_path):
+    """Structured observability (SURVEY §5): per-frame events, counters
+    and BA timers, serialized as JSONL."""
+    import json
+
+    from sift_tpu.perf.telemetry import Telemetry
+
+    frames, _, _ = sequence
+    tel = Telemetry()
+    odo = _run_odometry(frames[:5], ba_interval=3, ba_window=4,
+                        telemetry=tel)
+    ev = [e for e in tel.events if e["kind"] == "frame"]
+    assert len(ev) == 4  # frame 0 is init-only
+    assert {"mode", "keypoints", "matches", "inliers",
+            "landmarks"} <= set(ev[0])
+    assert tel.counters["frames"] == 4
+    assert any(e["kind"] == "window_ba" for e in tel.events)
+
+    path = tmp_path / "tel.jsonl"
+    tel.write_jsonl(str(path))
+    rows = [json.loads(l) for l in open(path)]
+    assert rows[-1]["kind"] == "summary"
+    assert rows[-1]["counters"]["frames"] == 4
+    assert "window_ba_s" in rows[-1]["series"]

@@ -42,3 +42,33 @@ def test_replay_detects_corruption(checkpoint):
     rep = Replayer(params, inputs, expected)
     ok, _ = rep.run_minus()
     assert not ok
+
+
+def test_oracle_verification(tmp_path):
+    """De-circularized parity: a checkpoint with a recorded cv2.SIFT
+    oracle verifies a FRESH pipeline run against the independent oracle
+    (perf/oracle.py; tools/perf.py --oracle)."""
+    from tests.conftest import synthetic_image
+
+    from sift_tpu.perf.oracle import capture_oracle, has_oracle, \
+        verify_oracle
+
+    img = synthetic_image(height=240, width=320, seed=1, n_blobs=40)
+    cfg = SiftConfig(width=320, height=240, num_features=2000,
+                     upscale=True)
+    path = str(tmp_path)
+    capture_golden(cfg, img, path)
+    capture_oracle(cfg, img, path)
+    assert has_oracle(path)
+
+    checks = verify_oracle(path)
+    assert checks["ok"], checks
+
+    # and a drifted pipeline must FAIL the oracle gate: corrupt the
+    # recorded oracle positions to emulate drift.
+    import numpy as np
+    import os
+    orc = dict(np.load(os.path.join(path, "oracle.npz")))
+    orc["x"] = orc["x"] + 3.0
+    np.savez_compressed(os.path.join(path, "oracle.npz"), **orc)
+    assert not verify_oracle(path)["ok"]
