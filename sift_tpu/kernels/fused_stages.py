@@ -301,6 +301,11 @@ def _pad_args(ys0, xs0, par, k, kp):
     return ys0, xs0, par
 
 
+# Largest patch radius whose patch + gradient halo fits a 64-lane
+# packing segment: 2*(r+1)+1 <= 64.
+DESC_PACK_RADIUS = (LANES // 2 - 3) // 2
+
+
 def pack_factor(rmax: int) -> int:
     """Largest lane-packing factor whose segment holds a patch of radius
     ``rmax`` plus the 1-px gradient halo (2*(rmax+1)+1 lanes)."""
@@ -368,7 +373,7 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
 
 def _desc_kernel(cnt_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
                  wins, sems, *,
-                 rows: int, block_k: int, n_kpts: int):
+                 rows: int, block_k: int, n_kpts: int, pack: int):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
 
@@ -385,22 +390,55 @@ def _desc_kernel(cnt_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
     _wait_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
               block_k, rows, n_kpts)
 
-    for j in range(block_k):
-        # Skip keypoints past the live count (valid-first order): their
+    seg = LANES // pack
+    masks = _seg_masks(pack, seg)
+    for g in range(block_k // pack):
+        js = [g * pack + s for s in range(pack)]
+
+        # Skip groups past the live count (valid-first order): their
         # out rows stay garbage, discarded downstream by the validity
         # mask.
-        @pl.when(i * block_k + j < cnt_ref[0])
-        def _(j=j):
-            _desc_one(par_ref, out_ref, wins, i % 2, j, rows)
+        @pl.when(i * block_k + js[0] < cnt_ref[0])
+        def _(js=js):
+            _desc_group(par_ref, out_ref, wins, i % 2, js, rows, pack,
+                        seg, masks)
 
 
-def _desc_one(par_ref, out_ref, wins, slot, j, rows):
-    win = wins[slot, j]
-    mag, ori = _grad_mag_ori(win)
-    offy, offx, wy, wx = _axis_vectors(par_ref, j, rows)
-    cos_t = par_ref[j, 9]
-    sin_t = par_ref[j, 10]
-    ang = par_ref[j, 11]
+def _desc_group(par_ref, out_ref, wins, slot, js, rows, pack, seg, masks):
+    if pack == 1:
+        win = wins[slot, js[0]]
+        mag, ori = _grad_mag_ori(win)
+        offy, offx, wy, wx = _axis_vectors(par_ref, js[0], rows)
+        cos_t = par_ref[js[0], 9]
+        sin_t = par_ref[js[0], 10]
+        ang = par_ref[js[0], 11]
+    else:
+        win = _packed_window(wins, slot, js, par_ref, seg, masks)
+        mag, ori = _grad_mag_ori(win)
+        # Per-keypoint scalars as per-segment lane vectors (see
+        # _ori_kernel's packed branch).
+        li = jax.lax.broadcasted_iota(
+            jnp.int32, (1, LANES), 1).astype(jnp.float32)
+        ri = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, 1), 0).astype(jnp.float32)
+        shift = [-float(s * seg) for s in range(pack)]
+        offy = _seg_vec(par_ref, js, 0, masks) + ri      # [rows, LANES]
+        offx = (_seg_vec(par_ref, js, 1, masks, shift)
+                + _seg_vec(par_ref, js, 12, masks) + li)  # [1, LANES]
+        ylo = _seg_vec(par_ref, js, 2, masks)
+        yhi = _seg_vec(par_ref, js, 3, masks)
+        xlo = _seg_vec(par_ref, js, 4, masks)
+        xhi = _seg_vec(par_ref, js, 5, masks)
+        es = _seg_vec(par_ref, js, 6, masks)
+        rad = _seg_vec(par_ref, js, 7, masks)
+        vld = _seg_vec(par_ref, js, 8, masks)
+        my = (offy >= ylo) & (offy <= yhi) & (jnp.abs(offy) <= rad)
+        mx = (offx >= xlo) & (offx <= xhi) & (jnp.abs(offx) <= rad)
+        wy = jnp.where(my, jnp.exp(offy * offy * es), 0.0)
+        wx = jnp.where(mx, jnp.exp(offx * offx * es) * vld, 0.0)
+        cos_t = _seg_vec(par_ref, js, 9, masks)
+        sin_t = _seg_vec(par_ref, js, 10, masks)
+        ang = _seg_vec(par_ref, js, 11, masks)
 
     c_rot = offx * cos_t - offy * sin_t        # [rows, LANES]
     r_rot = offx * sin_t + offy * cos_t
@@ -435,19 +473,27 @@ def _desc_one(par_ref, out_ref, wins, slot, j, rows):
             for o in range(_NBD):
                 cols.append(jnp.sum(t * vo[o], axis=0, keepdims=True))
     m = jnp.concatenate(cols, axis=0)           # [128, LANES]
-    out_ref[j, :] = jnp.sum(m, axis=1)
+    if pack == 1:
+        out_ref[js[0], :] = jnp.sum(m, axis=1)
+    else:
+        for s in range(pack):
+            out_ref[js[s], :] = jnp.sum(
+                jnp.where(masks[s], m, 0.0), axis=1)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("rows", "block_k", "interpret"))
+                   static_argnames=("rows", "block_k", "pack", "interpret"))
 def descriptor_fused(values, ys0, xs0, par, rows: int,
-                     block_k: int = 8,
+                     block_k: int = 8, pack: int = 1,
                      interpret: bool = False, count=None):
     """values/origins/par as orientation_hist_fused (par additionally
     carries cos_t, sin_t, ang).  ``count``: live keypoint count — see
-    orientation_hist_fused.  Returns [K, 128] f32 raw descriptor
-    histograms (pre-normalization, cell-major r, c, o —
-    finalize_descriptor order; rows past ``count`` garbage)."""
+    orientation_hist_fused.  ``pack``: keypoints per 128-lane compute
+    window (pack=2 requires patch radius <= 30: 2*(r+1)+1 <= 64-lane
+    segments).  Returns [K, 128] f32 raw descriptor histograms
+    (pre-normalization, cell-major r, c, o — finalize_descriptor order;
+    rows past ``count`` garbage)."""
+    assert block_k % pack == 0 and block_k % 8 == 0
     k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
     if kp != k:
@@ -473,7 +519,7 @@ def descriptor_fused(values, ys0, xs0, par, rows: int,
     )
     out = pl.pallas_call(
         functools.partial(_desc_kernel, rows=rows, block_k=block_k,
-                          n_kpts=kp),
+                          n_kpts=kp, pack=pack),
         out_shape=jax.ShapeDtypeStruct((kp, _D * _D * _NBD), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

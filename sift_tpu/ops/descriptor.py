@@ -170,8 +170,10 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
     gradient slabs, no HBM hat/one-hot operands.  ``slab``: row-stacked
     RAW Gaussian pyramid (ops/flatpyr.StackedPyramid).  Returns
     (desc, nrm2) like the flat path."""
-    from sift_tpu.kernels.fused_stages import NPAR, descriptor_fused
+    from sift_tpu.kernels.fused_stages import (DESC_PACK_RADIUS, NPAR,
+                                               descriptor_fused)
     from sift_tpu.kernels.window_gather import window_rows
+    from sift_tpu.ops.compact import stream_compact
     from sift_tpu.ops.flatpyr import stacked_origins
 
     inv = jnp.exp2(-octave.astype(jnp.float32))
@@ -216,8 +218,37 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
     par = par.at[:, 10].set(sin_t)
     par = par.at[:, 11].set(ang)
     par = par.at[:, 12].set(off.astype(jnp.float32))
-    hist = descriptor_fused(slab.values, ys0, xs0, par, rows,
-                            interpret=interpret, count=count)
+
+    # Radius-class split + 2-way lane packing: patches of radius <=
+    # DESC_PACK_RADIUS (2*(r+1)+1 <= a 64-lane segment; ~65% of
+    # default-config keypoints) pack TWO per compute window at a
+    # smaller static row count, sharing every vector op; the rest run
+    # unpacked at full rows.  Both kernels are count-gated, so total
+    # work is n_small/2 * rows_small + n_big * rows_big — exact, no
+    # capacity risk (each class gets the full capacity).
+    rs = DESC_PACK_RADIUS
+    if rmax <= rs:
+        hist = descriptor_fused(slab.values, ys0, xs0, par, rows,
+                                pack=2, interpret=interpret, count=count)
+        return finalize_descriptor(hist)
+
+    small = valid & (radius <= float(rs))
+    big = valid & (radius > float(rs))
+
+    def class_call(mask, pack, rows_c):
+        idx, val = stream_compact(mask, k)
+        p = jnp.take(par, idx, axis=0)
+        p = p.at[:, 8].set(val.astype(jnp.float32))
+        h = descriptor_fused(
+            slab.values, jnp.take(ys0, idx), jnp.take(xs0, idx), p,
+            rows_c, pack=pack, interpret=interpret,
+            count=jnp.sum(mask.astype(jnp.int32)))
+        return h, jnp.where(val, idx, k)   # invalid rows -> sink row k
+
+    hs, tgt_s = class_call(small, 2, window_rows(rs))
+    hb, tgt_b = class_call(big, 1, rows)
+    hist = jnp.zeros((k + 1, hs.shape[1]), hs.dtype)
+    hist = hist.at[tgt_s].set(hs).at[tgt_b].set(hb)[:k]
     return finalize_descriptor(hist)
 
 
