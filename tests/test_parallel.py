@@ -71,3 +71,21 @@ def test_sequential_match_self(small_plan, frames):
     if n > 4:
         hit = m[1] >= 0
         assert hit[:n].sum() >= 0.5 * n
+
+
+def test_scale_bench_cli(capsys):
+    """Scaling-efficiency benchmark runs end-to-end and reports one JSON
+    point per device count (efficiency numbers are meaningful on real
+    chips; here we gate the machinery)."""
+    import json
+
+    from sift_tpu.tools import scale_bench
+
+    scale_bench.main(["--width", "64", "--height", "64",
+                      "--num-features", "128", "--frames-per-device", "1",
+                      "--iters", "2"])
+    rows = [json.loads(l) for l in
+            capsys.readouterr().out.strip().splitlines()]
+    assert [r["devices"] for r in rows] == [1, 2, 4, 8]
+    assert all(r["frames_per_s"] > 0 for r in rows)
+    assert rows[0]["efficiency_vs_1"] == 1.0
