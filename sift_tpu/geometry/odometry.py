@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from sift_tpu.config import SiftConfig
+from sift_tpu.core.types import Keypoints, SiftResult
 from sift_tpu.geometry import se3
 from sift_tpu.geometry.ba import BAProblem, lm_optimize
 from sift_tpu.geometry.pnp import pnp_gn
@@ -53,6 +54,23 @@ class OdometryResult:
     def positions(self) -> np.ndarray:
         return np.stack([-r.T @ t for r, t in
                          zip(self.rotations, self.translations)])
+
+
+def _res_to_dict(d: dict, prefix: str, res) -> None:
+    for name, val in zip(Keypoints._fields, res.keypoints):
+        d[f"{prefix}_kp_{name}"] = np.asarray(val)
+    d[f"{prefix}_descriptors"] = np.asarray(res.descriptors)
+    d[f"{prefix}_count"] = np.asarray(res.count)
+    d[f"{prefix}_raw_count"] = np.asarray(res.raw_count)
+
+
+def _res_from_dict(d: dict, prefix: str):
+    kps = Keypoints(*[jnp.asarray(d[f"{prefix}_kp_{n}"])
+                      for n in Keypoints._fields])
+    return SiftResult(keypoints=kps,
+                      descriptors=jnp.asarray(d[f"{prefix}_descriptors"]),
+                      count=jnp.asarray(d[f"{prefix}_count"]),
+                      raw_count=jnp.asarray(d[f"{prefix}_raw_count"]))
 
 
 class MonocularOdometry:
@@ -308,6 +326,82 @@ class MonocularOdometry:
             self._obs.append((fidx - 1, lm, pa[j]))
             self._obs.append((fidx, lm, pbn[j]))
             new_lms[int(qi[k])] = lm
+
+    # ------------------------------------------------------------------
+    # Checkpoint / resume (failure recovery for the SfM layer: a process
+    # can die anywhere and a replacement resumes BIT-IDENTICAL tracking
+    # from the last checkpoint — pose chain, landmark map, observations,
+    # keyframes, match state and the RANSAC PRNG stream are all state).
+
+    def save_state(self, path: str) -> None:
+        """Serialize the full tracking state to one npz file."""
+        out = self.result
+        d = {
+            "rotations": (np.stack(out.rotations).astype(np.float32)
+                          if out.rotations else np.zeros((0, 3, 3),
+                                                         np.float32)),
+            "translations": (np.stack(out.translations).astype(np.float32)
+                             if out.translations else np.zeros((0, 3),
+                                                               np.float32)),
+            "n_matches": np.asarray(out.n_matches, np.int32),
+            "n_inliers": np.asarray(out.n_inliers, np.int32),
+            "modes": np.asarray(out.modes),
+            "points": (np.stack(self._points).astype(np.float32)
+                       if self._points else np.zeros((0, 3), np.float32)),
+            "obs_frame": np.asarray([f for f, _, _ in self._obs],
+                                    np.int32),
+            "obs_lm": np.asarray([l for _, l, _ in self._obs], np.int32),
+            "obs_uv": (np.stack([uv for _, _, uv in self._obs])
+                       .astype(np.float32) if self._obs
+                       else np.zeros((0, 2), np.float32)),
+            "prev_lms_k": np.asarray(list(self._prev_lms.keys()),
+                                     np.int32),
+            "prev_lms_v": np.asarray(list(self._prev_lms.values()),
+                                     np.int32),
+            "rng_key": np.asarray(jax.random.key_data(self._key)),
+            "closures": np.asarray(self.closures, np.int32).reshape(-1, 3),
+            "kf_fidx": np.asarray([f for f, _, _ in self._keyframes],
+                                  np.int32),
+            "kf_sigs": (np.stack(self._kf_sigs).astype(np.float32)
+                        if self._kf_sigs else np.zeros((0, 128),
+                                                       np.float32)),
+            "has_prev": np.asarray(self._prev is not None),
+        }
+        if self._prev is not None:
+            _res_to_dict(d, "prev", self._prev)
+        for i, (_, res, lms) in enumerate(self._keyframes):
+            _res_to_dict(d, f"kf{i}", res)
+            d[f"kf{i}_lms_k"] = np.asarray(list(lms.keys()), np.int32)
+            d[f"kf{i}_lms_v"] = np.asarray(list(lms.values()), np.int32)
+        np.savez_compressed(path, **d)
+
+    def load_state(self, path: str) -> None:
+        """Restore a save_state checkpoint; subsequent process() calls
+        continue bit-identically to an uninterrupted run."""
+        d = dict(np.load(path, allow_pickle=False))
+        out = self.result = OdometryResult()
+        out.rotations = [r for r in d["rotations"]]
+        out.translations = [t for t in d["translations"]]
+        out.n_matches = [int(v) for v in d["n_matches"]]
+        out.n_inliers = [int(v) for v in d["n_inliers"]]
+        out.modes = [str(m) for m in d["modes"]]
+        self._points = [p for p in d["points"]]
+        self._obs = [(int(f), int(l), uv) for f, l, uv in
+                     zip(d["obs_frame"], d["obs_lm"], d["obs_uv"])]
+        self._prev_lms = {int(k): int(v) for k, v in
+                          zip(d["prev_lms_k"], d["prev_lms_v"])}
+        self._key = jax.random.wrap_key_data(jnp.asarray(d["rng_key"]))
+        self.closures = [tuple(int(v) for v in row)
+                         for row in d["closures"]]
+        self._kf_sigs = [s for s in d["kf_sigs"]]
+        self._prev = _res_from_dict(d, "prev") if bool(d["has_prev"]) \
+            else None
+        self._keyframes = []
+        for i, fidx in enumerate(d["kf_fidx"]):
+            lms = {int(k): int(v) for k, v in
+                   zip(d[f"kf{i}_lms_k"], d[f"kf{i}_lms_v"])}
+            self._keyframes.append(
+                (int(fidx), _res_from_dict(d, f"kf{i}"), lms))
 
     def _try_loop_closure(self, res, fidx: int):
         """Relocalization-style closure: match the current frame against

@@ -37,6 +37,14 @@ def main(argv=None):
     p.add_argument("--num-features", type=int, default=2000)
     p.add_argument("--telemetry", default=None,
                    help="write per-frame JSONL telemetry to this path")
+    p.add_argument("--checkpoint", default=None,
+                   help="save the full tracking state to this npz after "
+                        "every --checkpoint-interval frames (resume a "
+                        "crashed run bit-identically with --resume)")
+    p.add_argument("--checkpoint-interval", type=int, default=25)
+    p.add_argument("--resume", default=None,
+                   help="restore tracking state from a --checkpoint file "
+                        "before processing")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -64,12 +72,20 @@ def main(argv=None):
         loop_min_gap=args.loop_min_gap,
         loop_min_matches=args.loop_min_matches,
         loop_min_inliers=max(10, args.loop_min_matches * 3 // 4))
+    if args.resume:
+        odo.load_state(args.resume)
+        done = len(odo.result.rotations)
+        names, frames = names[done:], frames[done:]
+        print(f"resumed at frame {done} from {args.resume}")
     t0 = time.perf_counter()
     for i, f in enumerate(frames):
         odo.process(f)
         r = odo.result
         print(f"[{i}] {names[i]}: {r.n_matches[-1]} matches, "
               f"{r.n_inliers[-1]} inliers")
+        if args.checkpoint and \
+                len(r.rotations) % args.checkpoint_interval == 0:
+            odo.save_state(args.checkpoint)
     dt = time.perf_counter() - t0
     print(f"processed {len(frames)} frames in {dt:.2f}s "
           f"({len(frames) / dt:.2f} frames/s incl. compile)")

@@ -199,3 +199,33 @@ def test_telemetry_stream(sequence, tmp_path):
     assert rows[-1]["kind"] == "summary"
     assert rows[-1]["counters"]["frames"] == 4
     assert "window_ba_s" in rows[-1]["series"]
+
+
+def test_checkpoint_resume_bitwise(sequence, tmp_path):
+    """Failure recovery (SURVEY §5): kill the tracker mid-sequence,
+    resume a FRESH instance from the checkpoint, and the continued
+    trajectory must be bit-identical to an uninterrupted run (pose
+    chain, landmark map, observations, keyframes, PRNG stream are all
+    checkpointed)."""
+    frames, _, _ = sequence
+
+    full = _run_odometry(frames, ba_interval=3, ba_window=4)
+
+    first = _run_odometry(frames[:5], ba_interval=3, ba_window=4)
+    ckpt = str(tmp_path / "state.npz")
+    first.save_state(ckpt)
+
+    resumed = MonocularOdometry(
+        SiftConfig(width=W, height=H, num_features=800),
+        fx=FX, fy=FX, cx=W / 2, cy=H / 2, ba_interval=3, ba_window=4)
+    resumed.load_state(ckpt)
+    for f in frames[5:]:
+        resumed.process(f)
+
+    np.testing.assert_array_equal(
+        np.stack(full.result.rotations), np.stack(resumed.result.rotations))
+    np.testing.assert_array_equal(
+        np.stack(full.result.translations),
+        np.stack(resumed.result.translations))
+    assert full.result.modes == resumed.result.modes
+    assert full.result.n_inliers == resumed.result.n_inliers
