@@ -425,11 +425,36 @@ class MonocularOdometry:
             order = np.argsort(-sims)[: self.loop_max_candidates]
             eligible = [eligible[int(j)] for j in order]
         best = None
-        for i in eligible:
+        if not eligible:
+            return
+        # ONE padded vmapped matcher dispatch for all candidates instead
+        # of one host round-trip per keyframe (the tunnel round-trip, not
+        # the matmul, dominates per-call cost); padding to the static
+        # loop_max_candidates keeps a single compiled program.
+        import functools
+
+        from sift_tpu.pipeline.matcher import match_brute_force
+
+        cc = self.loop_max_candidates
+        train = np.stack(
+            [np.asarray(self._keyframes[i][1].descriptors)
+             for i in eligible]
+            + [np.zeros_like(np.asarray(res.descriptors))]
+            * (cc - len(eligible)))
+        tval = np.stack(
+            [np.asarray(self._keyframes[i][1].keypoints.valid)
+             for i in eligible]
+            + [np.zeros(res.descriptors.shape[0], bool)]
+            * (cc - len(eligible)))
+        mm = np.asarray(jax.vmap(
+            functools.partial(match_brute_force, ratio=self.ratio),
+            in_axes=(None, 0, None, 0))(
+                res.descriptors, jnp.asarray(train),
+                res.keypoints.valid, jnp.asarray(tval)))
+        for c, i in enumerate(eligible):
             kf_fidx, kf_res, kf_lms = self._keyframes[i]
-            qi, ti = match_pairs(res.descriptors, kf_res.descriptors,
-                                 res.keypoints.valid,
-                                 kf_res.keypoints.valid, ratio=self.ratio)
+            qi = np.nonzero(mm[c] >= 0)[0]
+            ti = mm[c][qi]
             rows = [k for k in range(len(qi)) if int(ti[k]) in kf_lms]
             if len(rows) >= self.loop_min_matches and \
                     (best is None or len(rows) > best[0]):
