@@ -29,6 +29,10 @@ def main(argv=None):
     p.add_argument("--sizes", nargs="*", default=None,
                    help="override detect sizes, e.g. 752x480 1920x1200")
     p.add_argument("--num-features", type=int, default=5000)
+    p.add_argument("--batch", type=int, default=0,
+                   help="also measure single-chip THROUGHPUT with this "
+                        "many frames vmapped into one program (amortizes "
+                        "per-program fixed costs; reports per-frame ms)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -67,16 +71,34 @@ def main(argv=None):
             "keypoints": count,
             "vs_baseline": round(ms / base, 4) if base else None}))
 
+        if args.batch:
+            from sift_tpu.parallel.batched import batched_detect_fn
+            bfn = batched_detect_fn(build_plan(cfg))
+            batch = jnp.broadcast_to(img, (args.batch,) + img.shape)
+            batch = jax.device_put(batch)
+
+            def bstep(imgs):
+                res = bfn(imgs)
+                return imgs, (jnp.sum(res.descriptors)
+                              + jnp.sum(res.keypoints.x))
+
+            bms = measure_ms(bstep, batch) / args.batch
+            print(json.dumps({
+                "metric": f"detect_compute_{w}x{h}_batch{args.batch}",
+                "value": round(bms, 4), "unit": "ms/frame",
+                "vs_baseline": round(bms / base, 4) if base else None}))
+
     # Brute-force matching (readme.md:11: 2000x2000 in < 1 ms).
     # uint8 storage — the pipeline's default descriptor dtype; the
-    # matcher runs the exact bf16 MXU path on it.
+    # matcher runs the exact bf16 MXU path on it.  The chained timer
+    # carries f32 (its probe fold needs float), cast to u8 in-step.
     q = jax.device_put(jnp.asarray(rng.integers(0, 256, (2000, 128)),
-                                   jnp.uint8))
+                                   jnp.float32))
     t = jax.device_put(jnp.asarray(rng.integers(0, 256, (2000, 128)),
                                    jnp.uint8))
 
     def match_step(qq):
-        m = match_brute_force(qq, t)
+        m = match_brute_force(qq.astype(jnp.uint8), t)
         return qq, jnp.sum(m).astype(jnp.float32)
 
     ms = measure_ms(match_step, q, k_small=8, k_large=48)
