@@ -86,6 +86,46 @@ def _dense_records(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
         jnp.abs(contrast), edge_ok.astype(jnp.float32), v], axis=-1)
 
 
+def refine_keypoints_dense_all(dogs, cands, cfg: SiftConfig):
+    """ALL octaves' candidates walked in ONE pass over one concatenated
+    record slab.  The per-octave variant issues 5 gather steps per
+    octave — 5 * n_octaves small latency-bound gathers; here the same
+    walk runs once over the union (per-candidate octave geometry as
+    gathered arrays), so the gather count is octave-independent.
+
+    dogs: per-octave [D, H_o, W_o] DoG stacks (same D).  cands: list of
+    (cx, cy, clayer, cvalid) per octave.  Returns (RefinedKeypoints
+    concatenated octave-major, octave indices [K])."""
+    d = dogs[0].shape[0]
+    recs, bases, hs, ws = [], [], [], []
+    row = 0
+    for dog in dogs:
+        _, h, w = dog.shape
+        recs.append(_dense_records(dog, cfg).reshape(-1, 8))
+        bases.append(row)
+        hs.append(h)
+        ws.append(w)
+        row += recs[-1].shape[0]
+    rec = jnp.concatenate(recs)
+
+    octv = jnp.concatenate([
+        jnp.full(c[0].shape, o, jnp.int32) for o, c in enumerate(cands)])
+    cat = lambda i: jnp.concatenate([jnp.asarray(c[i]) for c in cands])
+    cx, cy, clayer, cvalid = cat(0), cat(1), cat(2), cat(3)
+    base = jnp.take(jnp.asarray(bases, jnp.int32), octv)
+    h = jnp.take(jnp.asarray(hs, jnp.int32), octv)
+    w = jnp.take(jnp.asarray(ws, jnp.int32), octv)
+
+    def fetch(l, r, c):
+        idx = base + ((jnp.clip(l, 1, d - 2) - 1) * h
+                      + jnp.clip(r, 0, h - 1)) * w + jnp.clip(c, 0, w - 1)
+        return jnp.take(rec, idx, axis=0)           # [K, 8]
+
+    scale = jnp.exp2(octv.astype(jnp.float32))
+    ref = _newton_walk(fetch, cx, cy, clayer, cvalid, d, h, w, scale, cfg)
+    return ref, octv
+
+
 def refine_keypoints_dense(dog: jnp.ndarray, cx, cy, clayer, cvalid,
                            octave: int, cfg: SiftConfig) -> RefinedKeypoints:
     """Drop-in replacement for ops.refine.refine_keypoints."""
@@ -98,6 +138,16 @@ def refine_keypoints_dense(dog: jnp.ndarray, cx, cy, clayer, cvalid,
                + jnp.clip(r, 0, h - 1)) * w + jnp.clip(c, 0, w - 1)
         return jnp.take(rec, idx, axis=0)           # [K, 8]
 
+    return _newton_walk(fetch, cx, cy, clayer, cvalid, d, h, w,
+                        float(1 << octave), cfg)
+
+
+def _newton_walk(fetch, cx, cy, clayer, cvalid, d, h, w, scale,
+                 cfg: SiftConfig) -> RefinedKeypoints:
+    """The 5-step walk + accept tests over a record fetcher.  ``h``,
+    ``w``, ``scale`` may be scalars (one octave) or per-candidate arrays
+    (the all-octave fused walk)."""
+    border = SIFT_IMG_BORDER
     c = cx.astype(jnp.int32)
     r = cy.astype(jnp.int32)
     l = clayer.astype(jnp.int32)
@@ -135,7 +185,6 @@ def refine_keypoints_dense(dog: jnp.ndarray, cx, cy, clayer, cvalid,
                >= cfg.contrast_threshold)
     ok = ok & (final[:, 6] > 0.5)
 
-    scale = float(1 << octave)
     if cfg.subpixel:
         fx = (c.astype(jnp.float32) - x0) * scale
         fy = (r.astype(jnp.float32) - x1) * scale

@@ -43,7 +43,7 @@ from sift_tpu.ops.flatpyr import (dense_gradients_packed,
 from sift_tpu.ops.peaks import find_candidates
 from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
 from sift_tpu.ops.refine import refine_keypoints
-from sift_tpu.ops.refine_dense import refine_keypoints_dense
+from sift_tpu.ops.refine_dense import refine_keypoints_dense_all
 
 
 def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
@@ -62,29 +62,35 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         gauss = gaussian_pyramid(plan, image)
         dogs = dog_pyramid(gauss)
 
-        # Per-octave detection + refinement (octave-major order, matching
-        # the reference's cross-octave collection order,
-        # utils/CudaMemcpyUtils.cu:21-70).
-        rx, ry, rlyr, rxi, rsize, rresp, roct, rval = \
-            [], [], [], [], [], [], [], []
-        for o in range(cfg.num_octaves):
-            op = plan.octaves[o]
-            cx, cy, clyr, cval = find_candidates(
-                dogs[o], cfg.peak_threshold, SIFT_IMG_BORDER, op.cand_cap)
-            refine = refine_keypoints_dense if cfg.refine_impl == "dense" \
-                else refine_keypoints
-            ref = refine(dogs[o], cx, cy, clyr, cval, o, cfg)
-            rx.append(ref.x)
-            ry.append(ref.y)
-            rlyr.append(ref.layer)
-            rxi.append(ref.xi)
-            rsize.append(ref.size)
-            rresp.append(ref.response)
-            roct.append(jnp.full(ref.x.shape, o, jnp.int32))
-            rval.append(ref.valid)
-        cat = lambda xs: jnp.concatenate(xs)
-        rx, ry, rlyr, rxi, rsize, rresp, roct, rval = map(
-            cat, (rx, ry, rlyr, rxi, rsize, rresp, roct, rval))
+        # Per-octave detection (octave-major order, matching the
+        # reference's cross-octave collection order,
+        # utils/CudaMemcpyUtils.cu:21-70), then ONE fused Newton walk
+        # over all octaves' candidates (dense path; the per-octave
+        # variants issue 5 latency-bound gather steps per octave).
+        cands = [find_candidates(dogs[o], cfg.peak_threshold,
+                                 SIFT_IMG_BORDER, plan.octaves[o].cand_cap)
+                 for o in range(cfg.num_octaves)]
+        if cfg.refine_impl == "dense":
+            ref, roct = refine_keypoints_dense_all(dogs, cands, cfg)
+            rx, ry, rlyr, rxi, rsize, rresp, rval = (
+                ref.x, ref.y, ref.layer, ref.xi, ref.size, ref.response,
+                ref.valid)
+        else:
+            rx, ry, rlyr, rxi, rsize, rresp, roct, rval = \
+                [], [], [], [], [], [], [], []
+            for o, (cx, cy, clyr, cval) in enumerate(cands):
+                r = refine_keypoints(dogs[o], cx, cy, clyr, cval, o, cfg)
+                rx.append(r.x)
+                ry.append(r.y)
+                rlyr.append(r.layer)
+                rxi.append(r.xi)
+                rsize.append(r.size)
+                rresp.append(r.response)
+                roct.append(jnp.full(r.x.shape, o, jnp.int32))
+                rval.append(r.valid)
+            cat = lambda xs: jnp.concatenate(xs)
+            rx, ry, rlyr, rxi, rsize, rresp, roct, rval = map(
+                cat, (rx, ry, rlyr, rxi, rsize, rresp, roct, rval))
 
         # Global compaction: ONE fixed-capacity keypoint set across all
         # octaves (≙ collectKpts per octave + the cross-octave gather).

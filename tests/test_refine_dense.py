@@ -33,3 +33,35 @@ def test_dense_matches_sparse(test_image):
                 np.asarray(getattr(a, f))[m], np.asarray(getattr(b, f))[m],
                 rtol=1e-4, atol=1e-4, err_msg=f"octave {o} field {f}")
     assert total > 30
+
+
+def test_fused_all_octave_walk_matches_per_octave(test_image):
+    """refine_keypoints_dense_all (one walk over every octave's
+    candidates, the pipeline path) must equal the per-octave walks."""
+    from sift_tpu.ops.refine_dense import refine_keypoints_dense_all
+
+    h, w = test_image.shape
+    cfg = SiftConfig(width=w, height=h)
+    plan = build_plan(cfg)
+    gauss = gaussian_pyramid(plan, jnp.asarray(test_image))
+    dogs = dog_pyramid(gauss)
+    cands = [find_candidates(dogs[o], cfg.peak_threshold, SIFT_IMG_BORDER,
+                             plan.octaves[o].cand_cap)
+             for o in range(cfg.num_octaves)]
+    ref, octv = refine_keypoints_dense_all(dogs, cands, cfg)
+
+    pos = 0
+    for o, (cx, cy, cl, cv) in enumerate(cands):
+        n = cx.shape[0]
+        a = refine_keypoints_dense(dogs[o], cx, cy, cl, cv, o, cfg)
+        sl = slice(pos, pos + n)
+        np.testing.assert_array_equal(np.asarray(octv[sl]), o)
+        np.testing.assert_array_equal(np.asarray(a.valid),
+                                      np.asarray(ref.valid[sl]))
+        m = np.asarray(a.valid)
+        for f in ("x", "y", "layer", "xi", "size", "response"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(a, f))[m],
+                np.asarray(getattr(ref, f)[sl])[m],
+                rtol=1e-5, atol=1e-5, err_msg=f"octave {o} field {f}")
+        pos += n
