@@ -56,7 +56,15 @@ def main():
     frames = det_frames(b_local * nproc, 64, 64)
     local = frames[pid * b_local:(pid + 1) * b_local]
     garr = shard_from_local(mesh, local)
-    res, matches = fn(garr)
+    # AOT-compile, then BARRIER before executing: compile durations vary
+    # between processes, and a cross-process collective whose peers
+    # arrive more than gloo's connect timeout apart fails its context
+    # init.  The coordination-service barrier (minutes of budget)
+    # absorbs the skew.
+    from jax.experimental import multihost_utils
+    compiled = fn.lower(garr).compile()
+    multihost_utils.sync_global_devices("detect compiled")
+    res, matches = compiled(garr)
 
     out = {
         "x": allgather(res.keypoints.x),
@@ -70,7 +78,10 @@ def main():
     from test_ba import synthetic_ba
     prob, _, _, _ = synthetic_ba(seed=0, n_cams=5, n_pts=96)
     lm, place = make_distributed_lm(mesh, iterations=10)
-    state = lm(place(prob))
+    placed = place(prob)
+    lm_c = lm.lower(placed).compile()
+    multihost_utils.sync_global_devices("ba compiled")
+    state = lm_c(placed)
     # BA outputs are fully replicated: any local shard holds the value.
     out["ba_cost"] = np.asarray(state.cost.addressable_data(0))
     out["ba_rot"] = np.asarray(state.rotations.addressable_data(0))

@@ -132,3 +132,28 @@ def test_prev_descriptor_rotation(detector, test_image):
 def test_wrong_shape_raises(detector):
     with pytest.raises(ValueError):
         detector.detect_and_compute(np.zeros((10, 10), np.float32))
+
+
+def test_reference_quirk_modes(test_image):
+    """The reference's own behavioral quirks stay supported: DoG-sourced
+    orientation histograms (interface/Detector.cu:489), continuous x512
+    quantization (SiftOps.cu:617-622), and bilinear round-half octave
+    downsampling (image_func/Resize.cu:26-63)."""
+    from sift_tpu.pipeline.detector import build_detect_fn
+    from sift_tpu.core.types import build_plan
+    import jax
+
+    h, w = test_image.shape
+    img = np.asarray(test_image, np.float32)
+    cfg = SiftConfig(width=w, height=h, num_features=500,
+                     orientation_source="dog", downsample="bilinear")
+    fn = jax.jit(build_detect_fn(build_plan(cfg), quant_mode="reference"))
+    res = fn(img)
+    n = int(res.count)
+    assert 10 < n <= 500
+    d = np.asarray(res.descriptors)
+    # "reference" quantization is continuous in [0, 512] and must NOT be
+    # uint8-cast (descriptor_dtype applies to the integer mode only).
+    assert d.dtype == np.float32
+    assert 0.0 <= d.min() and d.max() <= 512.0
+    assert (d[:n] != np.round(d[:n])).any()
