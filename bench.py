@@ -14,7 +14,7 @@ Cold-process hardening (the round-1 run timed out during compilation):
   argument, so both K points of the slope method share a compile;
 * a watchdog thread prints a rough wall-clock fallback line and exits if
   the precise measurement hasn't finished inside the time budget
-  (BENCH_BUDGET_S, default 240 s).
+  (BENCH_BUDGET_S, default 110 s).
 """
 
 import json
@@ -63,7 +63,9 @@ def _watchdog(budget_s: float):
             rec["note"] = "device unavailable within budget; last " \
                           "recorded measurement"
             print(json.dumps(rec), flush=True)
-        except OSError:
+        except (OSError, ValueError):
+            # ValueError covers json.JSONDecodeError on a truncated
+            # BENCH_LAST.json — the watchdog must always emit a line.
             print(json.dumps({
                 "metric": "detect_compute_752x480", "value": None,
                 "unit": "ms", "vs_baseline": None,
@@ -72,9 +74,40 @@ def _watchdog(budget_s: float):
     os._exit(0)
 
 
+def _wait_for_device(deadline: float) -> bool:
+    """Probe backend init in short-lived subprocesses until a device
+    answers or the budget nears exhaustion.  A down TPU tunnel blocks
+    backend init *in-process* forever; probing out-of-process keeps this
+    process clean so a mid-window tunnel recovery still yields a fresh
+    measurement instead of the stale fallback."""
+    import subprocess
+    attempt = 0
+    while True:
+        remain = deadline - time.monotonic()
+        if remain < 45:
+            return False
+        try:
+            rc = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; assert len(jax.devices()) > 0"],
+                timeout=min(90, remain - 40), capture_output=True,
+            ).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+        if rc == 0:
+            return True
+        attempt += 1
+        time.sleep(min(15, max(0.0, deadline - time.monotonic() - 45)))
+
+
 def main():
     budget = float(os.environ.get("BENCH_BUDGET_S", "110"))
     threading.Thread(target=_watchdog, args=(budget,), daemon=True).start()
+
+    if not _wait_for_device(time.monotonic() + budget):
+        # Let the watchdog emit the stale fallback at the deadline.
+        while True:
+            time.sleep(1.0)
 
     from sift_tpu.perf.cache import enable_compilation_cache
     enable_compilation_cache()

@@ -267,8 +267,11 @@ void* sift_io_loader_create(const char** paths, int n_paths, int n_threads,
 // success, -2 when exhausted, -1 on decode failure of this frame, -3 when
 // the frame exceeds dst_capacity floats (frame skipped; *w/*h report its
 // true dims so the caller can re-allocate and retry via a new loader).
-int sift_io_loader_next(void* handle, float* dst, int64_t dst_capacity,
-                        int* w, int* h) {
+// Symbol is versioned (_v2 = the dst_capacity signature): a stale
+// pre-capacity .so then fails loudly at ctypes lookup instead of reading
+// the capacity value as its int* w pointer and corrupting memory.
+int sift_io_loader_next_v2(void* handle, float* dst, int64_t dst_capacity,
+                           int* w, int* h) {
   auto* L = static_cast<Loader*>(handle);
   std::unique_lock<std::mutex> lk(L->mu);
   if (L->next_deliver >= static_cast<int>(L->paths.size())) return -2;

@@ -82,12 +82,13 @@ class SiftConfig:
     # "pallas_interpret" (fused Pallas kernels in interpreter mode — slow;
     # CPU testing of the production TPU path only).
     gather_impl: str = "auto"
-    # Keypoint refinement: "dense" precomputes the Newton record for every
-    # DoG pixel (fastest; the field is the pipeline's largest buffer —
-    # ~220 MB for octave 0 at 1920x1200), "gather" recomputes the 3x3x3
-    # stencil per candidate per step (~40% less peak HBM, ~35% slower
-    # end-to-end at 1920x1200).  Identical results (tests/test_refine_dense).
-    refine_impl: str = "dense"
+    # Storage dtype of the dense Newton record field (the pipeline's
+    # largest buffer).  "float32" is bit-exact; "bfloat16" halves it (and
+    # its HBM write traffic) at <= 2^-9 relative error on sub-pixel
+    # offsets (flag/decision channels are small integers — exact);
+    # "auto" (default) keeps float32 below 1 MP and bfloat16 at/above
+    # (memory parity at 1920x1200, no change at the flagship 752x480).
+    refine_record_dtype: str = "auto"
     # Descriptor storage dtype.  "uint8": 0..255-quantized descriptors are
     # stored as one byte each (4x less result memory/transfer) and the
     # matcher runs its Gram matmul in bf16 — bit-identical match indices
@@ -114,8 +115,9 @@ class SiftConfig:
         if self.descriptor_dtype not in ("uint8", "float32"):
             raise ValueError("descriptor_dtype must be 'uint8' or "
                              "'float32'")
-        if self.refine_impl not in ("dense", "gather"):
-            raise ValueError("refine_impl must be 'dense' or 'gather'")
+        if self.refine_record_dtype not in ("auto", "float32", "bfloat16"):
+            raise ValueError("refine_record_dtype must be 'auto', "
+                             "'float32' or 'bfloat16'")
 
     @property
     def num_octaves(self) -> int:

@@ -23,19 +23,35 @@ _LIB_PATH = os.path.join(_NATIVE_DIR, "libsift_io.so")
 _lib = None
 
 
+def _stale() -> bool:
+    """True when the built .so predates the current source (a stale
+    library called through a newer ctypes signature corrupts memory)."""
+    try:
+        src = os.path.join(_NATIVE_DIR, "sift_io.cpp")
+        return os.path.getmtime(src) > os.path.getmtime(_LIB_PATH)
+    except OSError:
+        return False
+
+
 def _load(build: bool = True):
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH) and build:
+    if build and (not os.path.exists(_LIB_PATH) or _stale()):
         try:
-            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+            subprocess.run(["make", "-B", "-C", _NATIVE_DIR], check=True,
                            capture_output=True)
         except (subprocess.CalledProcessError, FileNotFoundError):
             return None
     if not os.path.exists(_LIB_PATH):
         return None
-    lib = ctypes.CDLL(_LIB_PATH)
+    try:
+        lib = ctypes.CDLL(_LIB_PATH)
+        # Versioned symbol: raises AttributeError on a stale pre-capacity
+        # build, turning silent memory corruption into a clean fallback.
+        lib.sift_io_loader_next_v2
+    except (OSError, AttributeError):
+        return None
     lib.sift_io_read_pnm.argtypes = [
         ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
         ctypes.POINTER(ctypes.c_int)]
@@ -47,10 +63,10 @@ def _load(build: bool = True):
         ctypes.POINTER(ctypes.c_char_p), ctypes.c_int, ctypes.c_int,
         ctypes.c_int, ctypes.c_int, ctypes.c_int]
     lib.sift_io_loader_create.restype = ctypes.c_void_p
-    lib.sift_io_loader_next.argtypes = [
+    lib.sift_io_loader_next_v2.argtypes = [
         ctypes.c_void_p, ctypes.POINTER(ctypes.c_float), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-    lib.sift_io_loader_next.restype = ctypes.c_int
+    lib.sift_io_loader_next_v2.restype = ctypes.c_int
     lib.sift_io_loader_destroy.argtypes = [ctypes.c_void_p]
     lib.sift_io_rgb8_to_gray.argtypes = [
         ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_float),
@@ -131,7 +147,7 @@ class FrameLoader:
                 self._buf = np.empty((8192 * 8192,), np.float32)
         w = ctypes.c_int()
         h = ctypes.c_int()
-        rc = self._lib.sift_io_loader_next(
+        rc = self._lib.sift_io_loader_next_v2(
             self._handle,
             self._buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
             self._buf.size, ctypes.byref(w), ctypes.byref(h))

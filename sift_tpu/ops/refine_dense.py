@@ -1,27 +1,40 @@
-"""Dense-field keypoint refinement — the Newton solve precomputed for
-EVERY pixel, candidates just walk the field.
+"""Keypoint refinement — THE Newton implementation: the 3-D quadratic
+solve precomputed densely for every DoG pixel, candidates walk the field.
 
-Equivalent math to ops/refine.py (the reference's ``adjustExtrema``,
-sift_func/SiftOps.cu:63-208) restructured for TPU: the per-candidate
-3x3x3 stencil gather + Cramer solve (27 scattered loads x 5 steps each)
-becomes ONE dense vectorized pass over the DoG volume (stencils are
-shifts — pure VPU, no gathers) producing an 8-channel record per pixel:
+Equivalent capability to the reference's ``adjustExtrema``
+(/root/reference/sift_cuda/sift_func/SiftOps.cu:63-208): up to 5 Newton
+steps of a 3-D quadratic fit with 1/255-scaled derivatives, divergence /
+border / layer rejection, contrast test, and the Hessian edge test; the
+in-register 3x3 solve (SiftOps.cu:5-61) becomes a vectorized Cramer
+solve over the whole volume.
 
-    [x0, x1, x2, converged, diverged, |contrast|, edge_ok, v]
+TPU-first restructuring: the per-candidate 3x3x3 stencil gather + solve
+(27 scattered loads x 5 steps each) becomes ONE dense vectorized pass
+over the DoG volume (stencils are shifts — pure VPU, no gathers)
+producing a packed 5-channel record per pixel:
 
-The 5-step Newton walk then gathers one contiguous 8-float record per
-candidate per step.  Final accept tests read the flags at the final
-position — identical decisions to the sparse version, ~4x less gather
-traffic and no per-candidate arithmetic.
+    [x0, x1, x2, |contrast|, flags]   flags = conv | div<<1 | edge_ok<<2
+
+The 5-step Newton walk then gathers one contiguous record per candidate
+per step; final accept tests read |contrast| and the edge bit at the
+final position.  Records can be stored in bfloat16
+(``SiftConfig.refine_record_dtype``): flags (small integers) are exact,
+sub-pixel offsets carry <= 2^-9 relative error — halving the pipeline's
+largest buffer and its HBM write traffic.
+
+Unlike the reference (which drops OpenCV's sub-pixel offset in the final
+coordinates, SiftOps.cu:200-203), the sub-pixel offset is applied when
+``config.subpixel`` (default) — matching OpenCV.
 """
 
 from __future__ import annotations
+
+from typing import NamedTuple
 
 import jax.numpy as jnp
 
 from sift_tpu.config import (SIFT_IMG_BORDER, SIFT_MAX_INTERP_STEPS,
                              SiftConfig)
-from sift_tpu.ops.refine import RefinedKeypoints
 
 _IMG_SCALE = 1.0 / 255.0
 _DERIV_SCALE = _IMG_SCALE * 0.5
@@ -29,8 +42,31 @@ _SECOND_DERIV_SCALE = _IMG_SCALE
 _CROSS_DERIV_SCALE = _IMG_SCALE * 0.25
 
 
+class RefinedKeypoints(NamedTuple):
+    x: jnp.ndarray         # base-image-space x (float)
+    y: jnp.ndarray
+    layer: jnp.ndarray     # final integer layer (1..L)
+    xi: jnp.ndarray        # sub-pixel layer offset (OpenCV's xi)
+    size: jnp.ndarray      # base-image-space diameter
+    response: jnp.ndarray  # |contrast|
+    valid: jnp.ndarray
+
+
+def record_dtype(cfg: SiftConfig):
+    """Resolve ``cfg.refine_record_dtype``.  "auto" keeps float32 records
+    below 1 MP (bit-exact parity at the flagship 752x480 and all test
+    shapes) and switches to bfloat16 at/above (the record field is the
+    largest buffer at 1920x1200; VERDICT r2 memory-parity item)."""
+    mode = cfg.refine_record_dtype
+    if mode == "auto":
+        mode = ("bfloat16"
+                if cfg.base_width * cfg.base_height >= (1 << 20)
+                else "float32")
+    return jnp.bfloat16 if mode == "bfloat16" else jnp.float32
+
+
 def _dense_records(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
-    """dog [D, H, W] -> records [D-2, H, W, 8] for layers 1..D-2 only
+    """dog [D, H, W] -> records [D-2, H, W, 5] for layers 1..D-2 only
     (boundary pixels garbage; the walk never consults them for live
     candidates, and any Newton step out of layers [1, D-2] kills its
     candidate — so end layers are never needed)."""
@@ -81,9 +117,10 @@ def _dense_records(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
     et = cfg.edge_threshold
     edge_ok = (det2 > 0) & (tr * tr * et < (et + 1.0) * (et + 1.0) * det2)
 
-    return jnp.stack([
-        x0, x1, x2, conv.astype(jnp.float32), div.astype(jnp.float32),
-        jnp.abs(contrast), edge_ok.astype(jnp.float32), v], axis=-1)
+    flags = (conv.astype(jnp.float32) + 2.0 * div.astype(jnp.float32)
+             + 4.0 * edge_ok.astype(jnp.float32))
+    return jnp.stack([x0, x1, x2, jnp.abs(contrast), flags],
+                     axis=-1).astype(record_dtype(cfg))
 
 
 def refine_keypoints_dense_all(dogs, cands, cfg: SiftConfig):
@@ -101,7 +138,7 @@ def refine_keypoints_dense_all(dogs, cands, cfg: SiftConfig):
     row = 0
     for dog in dogs:
         _, h, w = dog.shape
-        recs.append(_dense_records(dog, cfg).reshape(-1, 8))
+        recs.append(_dense_records(dog, cfg).reshape(-1, 5))
         bases.append(row)
         hs.append(h)
         ws.append(w)
@@ -119,7 +156,7 @@ def refine_keypoints_dense_all(dogs, cands, cfg: SiftConfig):
     def fetch(l, r, c):
         idx = base + ((jnp.clip(l, 1, d - 2) - 1) * h
                       + jnp.clip(r, 0, h - 1)) * w + jnp.clip(c, 0, w - 1)
-        return jnp.take(rec, idx, axis=0)           # [K, 8]
+        return jnp.take(rec, idx, axis=0).astype(jnp.float32)   # [K, 5]
 
     scale = jnp.exp2(octv.astype(jnp.float32))
     ref = _newton_walk(fetch, cx, cy, clayer, cvalid, d, h, w, scale, cfg)
@@ -128,15 +165,15 @@ def refine_keypoints_dense_all(dogs, cands, cfg: SiftConfig):
 
 def refine_keypoints_dense(dog: jnp.ndarray, cx, cy, clayer, cvalid,
                            octave: int, cfg: SiftConfig) -> RefinedKeypoints:
-    """Drop-in replacement for ops.refine.refine_keypoints."""
+    """Single-octave entry (the per-stage replay/parity contract,
+    perf/replay.py run_adjust)."""
     d, h, w = dog.shape
-    border = SIFT_IMG_BORDER
-    rec = _dense_records(dog, cfg).reshape(-1, 8)
+    rec = _dense_records(dog, cfg).reshape(-1, 5)
 
     def fetch(l, r, c):
         idx = ((jnp.clip(l, 1, d - 2) - 1) * h
                + jnp.clip(r, 0, h - 1)) * w + jnp.clip(c, 0, w - 1)
-        return jnp.take(rec, idx, axis=0)           # [K, 8]
+        return jnp.take(rec, idx, axis=0).astype(jnp.float32)   # [K, 5]
 
     return _newton_walk(fetch, cx, cy, clayer, cvalid, d, h, w,
                         float(1 << octave), cfg)
@@ -161,8 +198,9 @@ def _newton_walk(fetch, cx, cy, clayer, cvalid, d, h, w, scale,
         active = alive & ~converged
         rc = fetch(l, r, c)
         nx0, nx1, nx2 = rc[:, 0], rc[:, 1], rc[:, 2]
-        conv_now = rc[:, 3] > 0.5
-        diverged = rc[:, 4] > 0.5
+        flags = rc[:, 4]
+        conv_now = jnp.mod(flags, 2.0) > 0.5
+        diverged = jnp.mod(jnp.floor(flags * 0.5), 2.0) > 0.5
         step = active & ~conv_now & ~diverged
         nl = l - jnp.round(nx2).astype(jnp.int32)
         nr = r - jnp.round(nx1).astype(jnp.int32)
@@ -181,9 +219,9 @@ def _newton_walk(fetch, cx, cy, clayer, cvalid, d, h, w, scale,
 
     ok = alive & converged
     final = fetch(l, r, c)
-    ok = ok & (final[:, 5] * cfg.num_octave_layers
-               >= cfg.contrast_threshold)
-    ok = ok & (final[:, 6] > 0.5)
+    contrast = final[:, 3]
+    ok = ok & (contrast * cfg.num_octave_layers >= cfg.contrast_threshold)
+    ok = ok & (final[:, 4] >= 4.0)      # edge_ok bit
 
     if cfg.subpixel:
         fx = (c.astype(jnp.float32) - x0) * scale
@@ -195,4 +233,4 @@ def _newton_walk(fetch, cx, cy, clayer, cvalid, d, h, w, scale,
     size = (cfg.sigma * jnp.power(2.0, (l.astype(jnp.float32) + xi)
                                   / cfg.num_octave_layers) * scale * 2.0)
     return RefinedKeypoints(x=fx, y=fy, layer=l, xi=xi, size=size,
-                            response=final[:, 5], valid=ok)
+                            response=contrast, valid=ok)

@@ -72,7 +72,25 @@ class Telemetry:
                     + "\n")
 
 
+class _NullTelemetry(Telemetry):
+    """True no-op sink: long tracking runs with no telemetry configured
+    must not accumulate an unbounded events list (odometry emits one
+    event per frame unconditionally)."""
+
+    def emit(self, kind: str, **fields):
+        pass
+
+    def record(self, name: str, value: float):
+        pass
+
+    def count(self, name: str, n: int = 1):
+        pass
+
+
+_NULL = _NullTelemetry()
+
+
 def get(telemetry: Optional[Telemetry]) -> Telemetry:
-    """Null-object helper: callers emit unconditionally; a fresh sink is
-    used (and discarded) when none was configured."""
-    return telemetry if telemetry is not None else Telemetry()
+    """Null-object helper: callers emit unconditionally; the shared no-op
+    sink swallows everything when none was configured."""
+    return telemetry if telemetry is not None else _NULL

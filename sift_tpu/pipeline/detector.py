@@ -42,7 +42,6 @@ from sift_tpu.ops.flatpyr import (dense_gradients_packed,
                                   shift_copies)
 from sift_tpu.ops.peaks import find_candidates
 from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
-from sift_tpu.ops.refine import refine_keypoints
 from sift_tpu.ops.refine_dense import refine_keypoints_dense_all
 
 
@@ -70,27 +69,10 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         cands = [find_candidates(dogs[o], cfg.peak_threshold,
                                  SIFT_IMG_BORDER, plan.octaves[o].cand_cap)
                  for o in range(cfg.num_octaves)]
-        if cfg.refine_impl == "dense":
-            ref, roct = refine_keypoints_dense_all(dogs, cands, cfg)
-            rx, ry, rlyr, rxi, rsize, rresp, rval = (
-                ref.x, ref.y, ref.layer, ref.xi, ref.size, ref.response,
-                ref.valid)
-        else:
-            rx, ry, rlyr, rxi, rsize, rresp, roct, rval = \
-                [], [], [], [], [], [], [], []
-            for o, (cx, cy, clyr, cval) in enumerate(cands):
-                r = refine_keypoints(dogs[o], cx, cy, clyr, cval, o, cfg)
-                rx.append(r.x)
-                ry.append(r.y)
-                rlyr.append(r.layer)
-                rxi.append(r.xi)
-                rsize.append(r.size)
-                rresp.append(r.response)
-                roct.append(jnp.full(r.x.shape, o, jnp.int32))
-                rval.append(r.valid)
-            cat = lambda xs: jnp.concatenate(xs)
-            rx, ry, rlyr, rxi, rsize, rresp, roct, rval = map(
-                cat, (rx, ry, rlyr, rxi, rsize, rresp, roct, rval))
+        ref, roct = refine_keypoints_dense_all(dogs, cands, cfg)
+        rx, ry, rlyr, rxi, rsize, rresp, rval = (
+            ref.x, ref.y, ref.layer, ref.xi, ref.size, ref.response,
+            ref.valid)
 
         # Global compaction: ONE fixed-capacity keypoint set across all
         # octaves (≙ collectKpts per octave + the cross-octave gather).
