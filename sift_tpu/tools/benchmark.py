@@ -101,7 +101,10 @@ def main(argv=None):
         m = match_brute_force(qq.astype(jnp.uint8), t)
         return qq, jnp.sum(m).astype(jnp.float32)
 
-    ms = measure_ms(match_step, q, k_small=8, k_large=48)
+    # K spread must be wide: one match is ~18 us, so a 40-iteration
+    # spread (~0.7 ms of chained work) drowns in tunnel round-trip
+    # noise and can report faster-than-MXU-speed-of-light numbers.
+    ms = measure_ms(match_step, q, k_small=16, k_large=256)
     print(json.dumps({
         "metric": "match_2000x2000", "value": round(ms, 4), "unit": "ms",
         "vs_baseline": round(ms / BASELINES_MS["match_2000x2000"], 4)}))
