@@ -2,8 +2,10 @@
 backend.  Times cumulative pipeline prefixes with the chained-K slope
 method (perf/timing.py) and prints the per-stage diffs.
 
-Profiles the FUSED path (the TPU default): raw-window Pallas kernels off
-a row-stacked slab; stage 5 is the slab stack, not gradient slabs.
+Mirrors pipeline/detector.build_detect_fn at HEAD: the fused all-octave
+Newton walk, count-gated fused Pallas kernels, and the textured
+bench_image workload (count gating makes white noise benchmark an
+almost-empty frame — perf/benchimg.py).
 
 Usage: python scripts/stage_bench.py [W H CAP]
 """
@@ -31,53 +33,41 @@ from sift_tpu.ops.flatpyr import stack_pyramid
 from sift_tpu.ops.orientation import max_ori_radius
 from sift_tpu.ops.peaks import find_candidates
 from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
-from sift_tpu.ops.refine_dense import refine_keypoints_dense
+from sift_tpu.ops.refine_dense import refine_keypoints_dense_all
 from sift_tpu.perf.timing import measure_ms
+
+STAGES = ["pyramid", "extrema", "refine", "compact", "stackslab",
+          "ori_hist", "peaks+expand", "descriptor"]
 
 
 def build_prefix_fn(plan, n_stages):
-    """Stage order: 1 pyramid, 2 extrema, 3 refine, 4 compaction,
-    5 stack slab, 6 orientation(+peaks+expand), 7 descriptor."""
+    """Stage order: 1 pyramid, 2 extrema, 3 refine (fused all-octave),
+    4 compaction, 5 stack slab, 6 fused orientation histogram kernel
+    (count-gated), 7 peak finding + expansion compaction, 8 descriptor
+    kernel (count-gated)."""
     cfg = plan.config
     kcap = cfg.num_features
     rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
 
     def fn(image):
-        probe = jnp.float32(0)
         gauss = gaussian_pyramid(plan, image)
         dogs = dog_pyramid(gauss)
         if n_stages == 1:
             return sum(jnp.sum(d[0]) for d in dogs) + jnp.sum(gauss[0][0])
-        rx, ry, rlyr, rxi, rsize, rresp, roct, rval = \
-            [], [], [], [], [], [], [], []
-        for o in range(cfg.num_octaves):
-            op = plan.octaves[o]
-            cx, cy, clyr, cval = find_candidates(
-                dogs[o], cfg.peak_threshold, SIFT_IMG_BORDER, op.cand_cap)
-            if n_stages == 2:
-                probe = probe + jnp.sum(cx) + jnp.sum(cval)
-                continue
-            ref = refine_keypoints_dense(dogs[o], cx, cy, clyr, cval, o, cfg)
-            rx.append(ref.x)
-            ry.append(ref.y)
-            rlyr.append(ref.layer)
-            rxi.append(ref.xi)
-            rsize.append(ref.size)
-            rresp.append(ref.response)
-            roct.append(jnp.full(ref.x.shape, o, jnp.int32))
-            rval.append(ref.valid)
+        cands = [find_candidates(dogs[o], cfg.peak_threshold,
+                                 SIFT_IMG_BORDER, plan.octaves[o].cand_cap)
+                 for o in range(cfg.num_octaves)]
         if n_stages == 2:
-            return probe
-        cat = lambda xs: jnp.concatenate(xs)
-        rx, ry, rlyr, rxi, rsize, rresp, roct, rval = map(
-            cat, (rx, ry, rlyr, rxi, rsize, rresp, roct, rval))
+            return sum(jnp.sum(cx) + jnp.sum(cv)
+                       for cx, _, _, cv in cands)
+        ref, roct = refine_keypoints_dense_all(dogs, cands, cfg)
         if n_stages == 3:
-            return jnp.sum(rx) + jnp.sum(rval)
-        idx, val = C.stream_compact(rval, kcap)
-        kx = jnp.take(rx, idx)
-        ky = jnp.take(ry, idx)
-        klyr = jnp.take(rlyr, idx)
-        ksize = jnp.take(rsize, idx)
+            return jnp.sum(ref.x) + jnp.sum(ref.valid)
+        idx, val = C.stream_compact(ref.valid, kcap)
+        kx = jnp.take(ref.x, idx)
+        ky = jnp.take(ref.y, idx)
+        klyr = jnp.take(ref.layer, idx)
+        ksize = jnp.take(ref.size, idx)
         koct = jnp.take(roct, idx)
         if n_stages == 4:
             return jnp.sum(kx) + jnp.sum(ksize)
@@ -85,8 +75,11 @@ def build_prefix_fn(plan, n_stages):
                              layer_lo=1, layer_hi=cfg.num_octave_layers + 1)
         if n_stages == 5:
             return jnp.sum(slab.values[0]) + jnp.sum(kx)
+        n_kp = jnp.sum(val.astype(jnp.int32))
         hist = O.orientation_histograms_fused(
-            slab, koct, kx, ky, klyr, ksize, val, cfg)
+            slab, koct, kx, ky, klyr, ksize, val, cfg, count=n_kp)
+        if n_stages == 6:
+            return jnp.sum(hist) + jnp.sum(kx)
         angles, peaks = O.orientation_peaks(hist, val, cfg)
         nb = angles.shape[1]
         eidx, evalid = C.stream_compact(peaks.reshape(-1), kcap)
@@ -97,10 +90,11 @@ def build_prefix_fn(plan, n_stages):
         foct = jnp.take(koct, src)
         fsize = jnp.take(ksize, src)
         fang = jnp.take(angles.reshape(-1), eidx)
-        if n_stages == 6:
+        if n_stages == 7:
             return jnp.sum(fang) + jnp.sum(fx)
         desc, nrm2 = D.compute_descriptors_fused(
-            slab, foct, fx, fy, flyr, fsize, fang, evalid, cfg)
+            slab, foct, fx, fy, flyr, fsize, fang, evalid, cfg,
+            count=jnp.sum(evalid.astype(jnp.int32)))
         return jnp.sum(desc) + jnp.sum(fx)
 
     return fn
@@ -112,20 +106,17 @@ def main():
         w, h, cap = map(int, sys.argv[1:4])
     cfg = SiftConfig(width=w, height=h, num_features=cap)
     plan = build_plan(cfg)
-    rng = np.random.default_rng(0)
-    img = jax.device_put(jnp.asarray(
-        np.clip(rng.normal(128, 40, (h, w)), 0, 255), jnp.float32))
+    from sift_tpu.perf.benchimg import bench_image
+    img = jax.device_put(jnp.asarray(bench_image(h, w), jnp.float32))
 
-    names = ["pyramid", "extrema", "refine", "compact", "stackslab",
-             "orientation", "descriptor"]
     prev = 0.0
-    for i, name in enumerate(names, 1):
+    for i, name in enumerate(STAGES, 1):
         fn = build_prefix_fn(plan, i)
 
         def step(x, fn=fn):
             return x, fn(x)
 
-        ms = measure_ms(step, img, k_small=2, k_large=8, repeats=3)
+        ms = measure_ms(step, img, k_small=4, k_large=16, repeats=3)
         print(f"stage {i} {name:12s} cum {ms:8.3f} ms   "
               f"delta {ms - prev:8.3f} ms", flush=True)
         prev = ms

@@ -16,7 +16,12 @@ into VMEM and do everything on-chip:
 * histogram accumulation as dense hat/one-hot products + reductions in
   VMEM (no atomics — the reference's __syncwarp/atomicAdd discipline,
   sift_func/SiftOps.cu:299-325,537-601, is replaced by construction);
-* double-buffered window DMA overlapped with compute.
+* dynamic-trip execution: ONE grid step, an internal fori_loop over
+  ceil(live_count / block_k) blocks only (unused capacity costs zero —
+  the CUDA count-sized-launch equivalent), an NBUF-slot window-DMA ring
+  with a single shared semaphore per slot (one scalar wait per block
+  instead of block_k), and par/out resident in VMEM for the whole call
+  (no per-block pipeline copies).
 
 The numerical contracts match ops/orientation.py / ops/descriptor.py
 exactly (same masks, same hat identities); tests gate the two paths
@@ -103,61 +108,38 @@ def _grad_mag_ori(win):
     return mag, ori
 
 
-def _axis_vectors(par, j, rows):
-    """Separable per-row/per-col offset, Gaussian-weight and bounds-mask
-    vectors.  Returns (offy [rows,1], offx [1,LANES], wy, wx)."""
-    dy0 = par[j, 0]
-    dx0 = par[j, 1]
-    es = par[j, 6]
-    rad = par[j, 7]
-    offy = dy0 + jax.lax.broadcasted_iota(
-        jnp.int32, (rows, 1), 0).astype(jnp.float32)
-    offx = dx0 + jax.lax.broadcasted_iota(
-        jnp.int32, (1, LANES), 1).astype(jnp.float32)
-    my = ((offy >= par[j, 2]) & (offy <= par[j, 3])
-          & (jnp.abs(offy) <= rad))
-    mx = ((offx >= par[j, 4]) & (offx <= par[j, 5])
-          & (jnp.abs(offx) <= rad))
-    wy = jnp.where(my, jnp.exp(offy * offy * es), 0.0) * par[j, 8]
-    wx = jnp.where(mx, jnp.exp(offx * offx * es), 0.0)
-    return offy, offx, wy, wx
+# DMA ring depth: blocks in flight.  The dynamic-trip kernels (below)
+# run a fori_loop over ceil(live_count / block_k) blocks only; NBUF - 1
+# blocks' window DMAs stay outstanding while one block computes.
+NBUF = 4
 
 
-def _start_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, slot,
-               block, block_k, rows, n_kpts):
-    """Issue per-keypoint window DMAs for ``block``; keypoints at or past
-    the LIVE count (cnt_ref[0]; compaction is valid-first, so live ==
-    first cnt) are skipped entirely — work scales with the frame's actual
-    keypoint count, not the static capacity (the CUDA count-sized-launch
-    equivalent at XLA-compatible static shapes)."""
+def _start_block(ys_ref, xs_ref, src_ref, wins, sems, slot, block,
+                 block_k, rows):
+    """Issue ``block``'s block_k window DMAs into ring slot ``slot``.
+    All of a slot's copies share ONE semaphore (sems[slot]) so the
+    consumer can wait for the whole slot in a single scalar op.  No
+    per-copy bounds branch: the caller only starts blocks below the live
+    block count, and padded tail entries carry clamped origins (a valid
+    slab window; their compute output is garbage past the live count,
+    which the downstream validity mask discards)."""
+    base = block * block_k
     for j in range(block_k):
-        k = block * block_k + j
-
-        @pl.when(k < cnt_ref[0])
-        def _(k=k, j=j):
-            kc = jnp.minimum(k, n_kpts - 1)
-            ys = pl.multiple_of(ys_ref[kc], SUBLANE)
-            xs = pl.multiple_of(xs_ref[kc], LANES)
-            pltpu.make_async_copy(
-                src_ref.at[pl.ds(ys, rows), pl.ds(xs, DMA_LANES)],
-                wins.at[slot, j],
-                sems.at[slot, j]).start()
+        ys = pl.multiple_of(ys_ref[base + j], SUBLANE)
+        xs = pl.multiple_of(xs_ref[base + j], LANES)
+        pltpu.make_async_copy(
+            src_ref.at[pl.ds(ys, rows), pl.ds(xs, DMA_LANES)],
+            wins.at[slot, j],
+            sems.at[slot]).start()
 
 
-def _wait_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, slot,
-              block, block_k, rows, n_kpts):
-    for j in range(block_k):
-        k = block * block_k + j
-
-        @pl.when(k < cnt_ref[0])
-        def _(k=k, j=j):
-            kc = jnp.minimum(k, n_kpts - 1)
-            ys = pl.multiple_of(ys_ref[kc], SUBLANE)
-            xs = pl.multiple_of(xs_ref[kc], LANES)
-            pltpu.make_async_copy(
-                src_ref.at[pl.ds(ys, rows), pl.ds(xs, DMA_LANES)],
-                wins.at[slot, j],
-                sems.at[slot, j]).wait()
+def _wait_slot(wins, sems, slot):
+    """ONE wait for a whole slot: the descriptor's dst is the full
+    [block_k, rows, LANES] slot buffer, so the awaited byte count equals
+    the sum of the slot's block_k window copies (dma_wait's count comes
+    from the dst ref shape) — 1 scalar op instead of block_k waits."""
+    pltpu.make_async_copy(wins.at[slot], wins.at[slot],
+                          sems.at[slot]).wait()
 
 
 def _seg_masks(pack: int, seg: int):
@@ -166,38 +148,71 @@ def _seg_masks(pack: int, seg: int):
     return [(li >= s * seg) & (li < (s + 1) * seg) for s in range(pack)]
 
 
-def _seg_vec(par_ref, js, col, masks, shift=None):
-    """[1, LANES] f32 carrying par[js[s], col] (plus an optional static
-    per-segment shift) on segment s — per-keypoint scalars as lane
-    vectors, so ``pack`` keypoints share one vector op."""
-    v = None
-    for s, m in enumerate(masks):
-        x = par_ref[js[s], col]
-        if shift is not None:
-            x = x + shift[s]
-        t = jnp.where(m, x, 0.0)
-        v = t if v is None else v + t
+def _segsel(pack: int, seg: int):
+    """Constant [pack, LANES] f32 segment-selection matrix:
+    segsel[s, l] = 1 where lane l belongs to packing segment s."""
+    li = jax.lax.broadcasted_iota(jnp.int32, (pack, LANES), 1)
+    si = jax.lax.broadcasted_iota(jnp.int32, (pack, LANES), 0)
+    return (li // seg == si).astype(jnp.float32)
+
+
+def _seg_table(par_ref, jg0, pack, segsel):
+    """ALL per-keypoint par columns as per-segment lane vectors in ONE
+    tiny MXU contraction: T[c, l] = par[jg0 + (l // seg), c].  Row c of
+    T is the [1, LANES] "segment vector" of par column c — the value of
+    the keypoint owning each lane's packing segment.  One [pack, LANES]
+    vector load + one dot per GROUP replaces ~12 per-column load/roll
+    chains (and the per-[1,1]-broadcast Mosaic limits entirely)."""
+    p = par_ref[pl.ds(jg0, pack), :]            # [pack, LANES(cols)]
+    # precision=HIGHEST: the default MXU precision truncates the par
+    # INPUT values to bf16 before the one-hot contraction — integer
+    # bounds > 256 (yhi at 752x480: up to ~958) and cos/sin/ang all
+    # lose mantissa.  HIGHEST keeps full f32; the matmul is tiny.
+    return jax.lax.dot_general(p, segsel, (((0,), (0,)), ((), ())),
+                               precision=jax.lax.Precision.HIGHEST,
+                               preferred_element_type=jnp.float32)
+
+
+def _trow(t, col, shift_lanes=None):
+    """[1, LANES] segment vector of par column ``col`` from a _seg_table
+    result, plus an optional additive constant lane vector."""
+    v = t[col:col + 1, :]
+    if shift_lanes is not None:
+        v = v + shift_lanes
     return v
 
 
-def _packed_window(wins, slot, js, par_ref, seg, masks):
-    """Merge ``len(js)`` keypoints' patches into ONE [rows, LANES] window,
-    patch s starting at lane s*seg (rolled there from its DMA offset,
-    par column 12).  Keypoints share every subsequent vector op
-    (gradients, atan2, histogram passes) — the per-keypoint cost of the
-    whole compute chain divides by the pack factor.  Patch + gradient
-    halo must fit the segment: 2*(radius+1)+1 <= seg.
+def _packed_window(wins, slot, jl, jg, sh_ref, vld, seg, masks):
+    """Merge ``len(jl)`` keypoints' patches into ONE [rows, LANES] window,
+    patch s starting at lane s*seg (rolled there from its DMA offset —
+    the combined roll shift is precomputed host-side and prefetched as
+    the int32 SMEM array ``sh_ref``).  Keypoints share every subsequent
+    vector op (gradients, atan2, histogram passes) — the per-keypoint
+    cost of the whole compute chain divides by the pack factor.  Patch +
+    gradient halo must fit the segment: 2*(radius+1)+1 <= seg.  ``jl``:
+    static slot-local window indices; ``jg``: dynamic global keypoint
+    indices; ``vld``: [1, LANES] per-segment validity vector (_trow of
+    par column 8).
 
-    Invalid keypoints' segments are zeroed (their DMA may have been
-    count-skipped, leaving stale or uninitialized VMEM — a NaN there
-    would leak into a neighbor segment's masked halo through the
-    gradient rolls, and NaN * 0 poisons the shared lane reductions)."""
+    Invalid keypoints' segments are zeroed (a padded tail entry's window
+    holds unrelated slab pixels — a NaN there would leak into a neighbor
+    segment's masked halo through the gradient rolls, and NaN * 0
+    poisons the shared lane reductions).
+
+    pack == 1 windows are NOT rolled (offx stays DMA-window-relative,
+    par column 1 alone): rolling the patch to lane 0 wraps the window's
+    first ``off`` lanes to the high end, where a keypoint whose TRUE
+    radius exceeds the static window bound (par col 7 is deliberately
+    uncapped, matching the flat path's masks) would pass the |offx| <=
+    radius test with the wrong pixels at the wrong offsets.  Packed
+    segments never wrap: off + lane-in-segment < 32 + 64 < 128."""
+    ok = vld > 0.0
+    if len(jl) == 1:
+        return jnp.where(ok, wins[slot, jl[0]], 0.0)
     win = None
-    for s, j in enumerate(js):
-        off = par_ref[j, 12].astype(jnp.int32)
-        shift = (LANES - off + s * seg) % LANES
-        w = pltpu.roll(wins[slot, j], shift, 1)
-        w = jnp.where(masks[s] & (par_ref[j, 8] > 0.0), w, 0.0)
+    for s, (j, g) in enumerate(zip(jl, jg)):
+        w = pltpu.roll(wins[slot, j], sh_ref[g], 1)
+        w = jnp.where(masks[s] & ok, w, 0.0)
         win = w if win is None else win + w
     return win
 
@@ -207,70 +222,78 @@ def _packed_window(wins, slot, js, par_ref, seg, masks):
 # ---------------------------------------------------------------------------
 
 
-def _ori_kernel(cnt_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
-                wins, sems, *,
+def _ori_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
+                out_ref, wins, sems, *,
                 rows: int, block_k: int, n_kpts: int, pack: int):
-    i = pl.program_id(0)
-    nb = pl.num_programs(0)
+    """Dynamic-trip driver: ONE grid step, fori_loop over only the LIVE
+    blocks (ceil(count / block_k)).  Unused capacity costs nothing — no
+    skipped grid steps, no per-block par/out pipeline copies (par is a
+    VMEM-resident table read via [1,1] vector loads; out is a full-VMEM
+    buffer written at dynamic offsets).  NBUF-slot DMA ring keeps
+    NBUF - 1 blocks' window copies in flight behind the one being
+    computed."""
+    nblocks = (cnt_ref[0] + block_k - 1) // block_k
 
-    @pl.when(i == 0)
-    def _():
-        _start_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, 0, 0,
-                   block_k, rows, n_kpts)
-
-    @pl.when(i + 1 < nb)
-    def _():
-        _start_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems,
-                   (i + 1) % 2, i + 1, block_k, rows, n_kpts)
-
-    _wait_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
-              block_k, rows, n_kpts)
+    for b in range(NBUF - 1):
+        @pl.when(b < nblocks)
+        def _(b=b):
+            _start_block(ys_ref, xs_ref, src_ref, wins, sems, b, b,
+                         block_k, rows)
 
     seg = LANES // pack
     masks = _seg_masks(pack, seg)
-    for g in range(block_k // pack):
-        js = [g * pack + s for s in range(pack)]
+    segsel = _segsel(pack, seg)
 
-        # Whole-group skip past the live count (compaction is valid-
-        # first): out rows stay garbage, discarded downstream by the
-        # validity mask.
-        @pl.when(i * block_k + js[0] < cnt_ref[0])
-        def _(g=g, js=js):
-            _ori_group(par_ref, out_ref, wins, i % 2, js, rows, pack,
-                       seg, masks)
+    def body(i, carry):
+        slot = jax.lax.rem(i, NBUF)
+
+        @pl.when(i + NBUF - 1 < nblocks)
+        def _():
+            _start_block(ys_ref, xs_ref, src_ref, wins, sems,
+                         jax.lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1,
+                         block_k, rows)
+
+        _wait_slot(wins, sems, slot)
+        base = i * block_k
+        for g in range(block_k // pack):
+            jl = [g * pack + s for s in range(pack)]
+            jg = [base + j for j in jl]
+            _ori_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg,
+                       rows, pack, seg, masks, segsel)
+        return carry
+
+    jax.lax.fori_loop(0, nblocks, body, 0, unroll=False)
 
 
-def _ori_group(par_ref, out_ref, wins, slot, js, rows, pack, seg, masks):
-    if pack == 1:
-        win = wins[slot, js[0]]
-        mag, ori = _grad_mag_ori(win)
-        _, _, wy, wx = _axis_vectors(par_ref, js[0], rows)
-    else:
-        win = _packed_window(wins, slot, js, par_ref, seg, masks)
-        mag, ori = _grad_mag_ori(win)
-        # Per-keypoint scalars as per-segment lane vectors; offx is
-        # lane-relative to each patch's segment start (dx0 is DMA-
-        # window-lane-0 relative — add the patch offset, col 12).
-        li = jax.lax.broadcasted_iota(
-            jnp.int32, (1, LANES), 1).astype(jnp.float32)
-        ri = jax.lax.broadcasted_iota(
-            jnp.int32, (rows, 1), 0).astype(jnp.float32)
-        shift = [-float(s * seg) for s in range(pack)]
-        offy = _seg_vec(par_ref, js, 0, masks) + ri     # [rows, LANES]
-        offx = (_seg_vec(par_ref, js, 1, masks, shift)
-                + _seg_vec(par_ref, js, 12, masks) + li)
-        ylo = _seg_vec(par_ref, js, 2, masks)
-        yhi = _seg_vec(par_ref, js, 3, masks)
-        xlo = _seg_vec(par_ref, js, 4, masks)
-        xhi = _seg_vec(par_ref, js, 5, masks)
-        es = _seg_vec(par_ref, js, 6, masks)
-        rad = _seg_vec(par_ref, js, 7, masks)
-        vld = _seg_vec(par_ref, js, 8, masks)
-        my = (offy >= ylo) & (offy <= yhi) & (jnp.abs(offy) <= rad)
-        mx = ((offx >= xlo) & (offx <= xhi)
-              & (jnp.abs(offx) <= rad))                 # [1, LANES]
-        wy = jnp.where(my, jnp.exp(offy * offy * es), 0.0)
-        wx = jnp.where(mx, jnp.exp(offx * offx * es) * vld, 0.0)
+def _ori_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg, rows, pack,
+               seg, masks, segsel):
+    t = _seg_table(par_ref, jg[0], pack, segsel)
+    vld = _trow(t, 8)
+    win = _packed_window(wins, slot, jl, jg, sh_ref, vld, seg, masks)
+    mag, ori = _grad_mag_ori(win)
+    # Per-keypoint values as per-segment lane vectors; offx is
+    # lane-relative to each patch's segment start (dx0 is DMA-
+    # window-lane-0 relative — add the patch offset, col 12).
+    li = jax.lax.broadcasted_iota(
+        jnp.int32, (1, LANES), 1).astype(jnp.float32)
+    ri = jax.lax.broadcasted_iota(
+        jnp.int32, (rows, 1), 0).astype(jnp.float32)
+    si = jax.lax.broadcasted_iota(
+        jnp.int32, (1, LANES), 1) // seg
+    seg_starts = (si * seg).astype(jnp.float32)     # s*seg per lane
+    offy = _trow(t, 0) + ri                         # [rows, LANES]
+    # Unpacked windows are unrolled (see _packed_window): offx is
+    # window-lane-0-relative, no patch-offset shift.
+    offx = (_trow(t, 1) + li if pack == 1
+            else _trow(t, 1, _trow(t, 12) - seg_starts) + li)
+    es = _trow(t, 6)
+    rad = _trow(t, 7)
+    my = ((offy >= _trow(t, 2)) & (offy <= _trow(t, 3))
+          & (jnp.abs(offy) <= rad))
+    mx = ((offx >= _trow(t, 4)) & (offx <= _trow(t, 5))
+          & (jnp.abs(offx) <= rad))                 # [1, LANES]
+    wy = jnp.where(my, jnp.exp(offy * offy * es), 0.0)
+    wx = jnp.where(mx, jnp.exp(offx * offx * es) * vld, 0.0)
     contrib = mag * wy * wx                    # [rows, LANES]
     # bin = round(ori * 36/360), wrapped (ops/orientation.py:113-115).
     b = jnp.round(ori * (_NBO / 360.0))
@@ -286,19 +309,50 @@ def _ori_group(par_ref, out_ref, wins, slot, js, rows, pack, seg, masks):
     ]
     m = jnp.concatenate(cols, axis=0)           # [36, LANES]
     if pack == 1:
-        out_ref[js[0], :] = jnp.sum(m, axis=1)
+        out_ref[pl.ds(jg[0], 1), :] = jnp.sum(m, axis=1)[None]
     else:
         for s in range(pack):
-            out_ref[js[s], :] = jnp.sum(
-                jnp.where(masks[s], m, 0.0), axis=1)
+            out_ref[pl.ds(jg[s], 1), :] = jnp.sum(
+                jnp.where(masks[s], m, 0.0), axis=1)[None]
 
 
 def _pad_args(ys0, xs0, par, k, kp):
     pad = kp - k
     ys0 = jnp.concatenate([ys0, jnp.zeros((pad,), ys0.dtype)])
     xs0 = jnp.concatenate([xs0, jnp.zeros((pad,), xs0.dtype)])
-    par = jnp.concatenate([par, jnp.zeros((pad, NPAR), par.dtype)])
+    par = jnp.concatenate([par, jnp.zeros((pad, par.shape[1]),
+                                          par.dtype)])
     return ys0, xs0, par
+
+
+def _pad_par_lanes(par):
+    """Lane-pad par [K, NPAR] -> [K, LANES] (see _p11)."""
+    return jnp.pad(par, ((0, 0), (0, LANES - par.shape[1])))
+
+
+def _roll_shifts(par, pack):
+    """Per-keypoint combined lane-roll shift for _packed_window,
+    precomputed host-side and prefetched to SMEM (int32): shift =
+    (LANES - dma_offset + segment_index * seg) % LANES, where a
+    keypoint's segment index is its position within its pack group."""
+    kp = par.shape[0]
+    seg = LANES // pack
+    s = jnp.arange(kp, dtype=jnp.int32) % pack
+    off = par[:, 12].astype(jnp.int32)
+    return (LANES - off + s * seg) % LANES
+
+
+def _clamp_origins(ys0, xs0, values, rows):
+    """Clamp DMA origins into the slab (alignment-preserving).  The
+    dynamic-trip kernels issue every window DMA in a live block without
+    per-copy validity branches, so an INVALID entry inside the last live
+    block (its coordinates may be arbitrary garbage) must still address
+    readable memory; its compute output is discarded by the validity
+    mask."""
+    ymax = max((values.shape[0] - rows) // SUBLANE * SUBLANE, 0)
+    xmax = max((values.shape[1] - DMA_LANES) // LANES * LANES, 0)
+    return (jnp.clip(ys0, 0, ymax).astype(jnp.int32),
+            jnp.clip(xs0, 0, xmax).astype(jnp.int32))
 
 
 # Largest patch radius whose patch + gradient halo fits a 64-lane
@@ -326,33 +380,36 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
     aligned absolute window origins (stacked_origins); par: [K, NPAR] f32
     (see layout above).  ``pack``: keypoints per 128-lane compute window
     (pack_factor of the static radius bound).  ``count``: live keypoint
-    count (valid-first order) — blocks past it are skipped, so runtime
-    scales with the frame content, not the capacity.  Returns [K, 36] f32
-    raw histograms (rows past ``count`` garbage)."""
+    count (valid-first order) — the kernel's internal loop runs
+    ceil(count / block_k) blocks, so runtime scales with the frame
+    content; unused capacity costs nothing.  Returns [K, 36] f32 raw
+    histograms (rows past ``count`` garbage)."""
     if not block_k:
         # Sublane-dim block sizes must be multiples of 8 AND of pack.
         block_k = 24 if pack == 3 else 8
     assert block_k % pack == 0 and block_k % 8 == 0
     k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
+    ys0, xs0 = _clamp_origins(ys0, xs0, values, rows)
+    par = _pad_par_lanes(par)
     if kp != k:
         ys0, xs0, par = _pad_args(ys0, xs0, par, k, kp)
+    sh = _roll_shifts(par, pack)
     cnt = jnp.full((1,), kp, jnp.int32) if count is None \
         else jnp.minimum(count, kp).astype(jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(kp // block_k,),
+        num_scalar_prefetch=4,
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((block_k, NPAR), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
+            # par: full VMEM residence, [1,1] vector loads in-kernel.
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((block_k, _NBO), lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, block_k, rows, DMA_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, block_k)),
+            pltpu.VMEM((NBUF, block_k, rows, DMA_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     out = pl.pallas_call(
@@ -362,7 +419,7 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(cnt, ys0, xs0, par, values)
+    )(cnt, ys0, xs0, sh, par, values)
     return out[:k]
 
 
@@ -371,74 +428,72 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
 # ---------------------------------------------------------------------------
 
 
-def _desc_kernel(cnt_ref, ys_ref, xs_ref, par_ref, src_ref, out_ref,
-                 wins, sems, *,
+def _desc_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
+                 out_ref, wins, sems, *,
                  rows: int, block_k: int, n_kpts: int, pack: int):
-    i = pl.program_id(0)
-    nb = pl.num_programs(0)
+    """Dynamic-trip driver — see _ori_kernel."""
+    nblocks = (cnt_ref[0] + block_k - 1) // block_k
 
-    @pl.when(i == 0)
-    def _():
-        _start_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, 0, 0,
-                   block_k, rows, n_kpts)
-
-    @pl.when(i + 1 < nb)
-    def _():
-        _start_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems,
-                   (i + 1) % 2, i + 1, block_k, rows, n_kpts)
-
-    _wait_dma(cnt_ref, src_ref, ys_ref, xs_ref, wins, sems, i % 2, i,
-              block_k, rows, n_kpts)
+    for b in range(NBUF - 1):
+        @pl.when(b < nblocks)
+        def _(b=b):
+            _start_block(ys_ref, xs_ref, src_ref, wins, sems, b, b,
+                         block_k, rows)
 
     seg = LANES // pack
     masks = _seg_masks(pack, seg)
-    for g in range(block_k // pack):
-        js = [g * pack + s for s in range(pack)]
+    segsel = _segsel(pack, seg)
 
-        # Skip groups past the live count (valid-first order): their
-        # out rows stay garbage, discarded downstream by the validity
-        # mask.
-        @pl.when(i * block_k + js[0] < cnt_ref[0])
-        def _(js=js):
-            _desc_group(par_ref, out_ref, wins, i % 2, js, rows, pack,
-                        seg, masks)
+    def body(i, carry):
+        slot = jax.lax.rem(i, NBUF)
+
+        @pl.when(i + NBUF - 1 < nblocks)
+        def _():
+            _start_block(ys_ref, xs_ref, src_ref, wins, sems,
+                         jax.lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1,
+                         block_k, rows)
+
+        _wait_slot(wins, sems, slot)
+        base = i * block_k
+        for g in range(block_k // pack):
+            jl = [g * pack + s for s in range(pack)]
+            jg = [base + j for j in jl]
+            _desc_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg,
+                        rows, pack, seg, masks, segsel)
+        return carry
+
+    jax.lax.fori_loop(0, nblocks, body, 0, unroll=False)
 
 
-def _desc_group(par_ref, out_ref, wins, slot, js, rows, pack, seg, masks):
-    if pack == 1:
-        win = wins[slot, js[0]]
-        mag, ori = _grad_mag_ori(win)
-        offy, offx, wy, wx = _axis_vectors(par_ref, js[0], rows)
-        cos_t = par_ref[js[0], 9]
-        sin_t = par_ref[js[0], 10]
-        ang = par_ref[js[0], 11]
-    else:
-        win = _packed_window(wins, slot, js, par_ref, seg, masks)
-        mag, ori = _grad_mag_ori(win)
-        # Per-keypoint scalars as per-segment lane vectors (see
-        # _ori_kernel's packed branch).
-        li = jax.lax.broadcasted_iota(
-            jnp.int32, (1, LANES), 1).astype(jnp.float32)
-        ri = jax.lax.broadcasted_iota(
-            jnp.int32, (rows, 1), 0).astype(jnp.float32)
-        shift = [-float(s * seg) for s in range(pack)]
-        offy = _seg_vec(par_ref, js, 0, masks) + ri      # [rows, LANES]
-        offx = (_seg_vec(par_ref, js, 1, masks, shift)
-                + _seg_vec(par_ref, js, 12, masks) + li)  # [1, LANES]
-        ylo = _seg_vec(par_ref, js, 2, masks)
-        yhi = _seg_vec(par_ref, js, 3, masks)
-        xlo = _seg_vec(par_ref, js, 4, masks)
-        xhi = _seg_vec(par_ref, js, 5, masks)
-        es = _seg_vec(par_ref, js, 6, masks)
-        rad = _seg_vec(par_ref, js, 7, masks)
-        vld = _seg_vec(par_ref, js, 8, masks)
-        my = (offy >= ylo) & (offy <= yhi) & (jnp.abs(offy) <= rad)
-        mx = (offx >= xlo) & (offx <= xhi) & (jnp.abs(offx) <= rad)
-        wy = jnp.where(my, jnp.exp(offy * offy * es), 0.0)
-        wx = jnp.where(mx, jnp.exp(offx * offx * es) * vld, 0.0)
-        cos_t = _seg_vec(par_ref, js, 9, masks)
-        sin_t = _seg_vec(par_ref, js, 10, masks)
-        ang = _seg_vec(par_ref, js, 11, masks)
+def _desc_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg, rows,
+                pack, seg, masks, segsel):
+    t = _seg_table(par_ref, jg[0], pack, segsel)
+    vld = _trow(t, 8)
+    win = _packed_window(wins, slot, jl, jg, sh_ref, vld, seg, masks)
+    mag, ori = _grad_mag_ori(win)
+    # Per-keypoint values as per-segment lane vectors (see _ori_group).
+    li = jax.lax.broadcasted_iota(
+        jnp.int32, (1, LANES), 1).astype(jnp.float32)
+    ri = jax.lax.broadcasted_iota(
+        jnp.int32, (rows, 1), 0).astype(jnp.float32)
+    si = jax.lax.broadcasted_iota(
+        jnp.int32, (1, LANES), 1) // seg
+    seg_starts = (si * seg).astype(jnp.float32)
+    offy = _trow(t, 0) + ri                          # [rows, LANES]
+    # Unpacked windows are unrolled (see _packed_window).
+    offx = (_trow(t, 1) + li if pack == 1
+            else _trow(t, 1, _trow(t, 12) - seg_starts) + li)
+    es = _trow(t, 6)
+    rad = _trow(t, 7)
+    my = ((offy >= _trow(t, 2)) & (offy <= _trow(t, 3))
+          & (jnp.abs(offy) <= rad))
+    mx = ((offx >= _trow(t, 4)) & (offx <= _trow(t, 5))
+          & (jnp.abs(offx) <= rad))
+    wy = jnp.where(my, jnp.exp(offy * offy * es), 0.0)
+    wx = jnp.where(mx, jnp.exp(offx * offx * es) * vld, 0.0)
+    cos_t = _trow(t, 9)
+    sin_t = _trow(t, 10)
+    ang = _trow(t, 11)
 
     c_rot = offx * cos_t - offy * sin_t        # [rows, LANES]
     r_rot = offx * sin_t + offy * cos_t
@@ -474,11 +529,11 @@ def _desc_group(par_ref, out_ref, wins, slot, js, rows, pack, seg, masks):
                 cols.append(jnp.sum(t * vo[o], axis=0, keepdims=True))
     m = jnp.concatenate(cols, axis=0)           # [128, LANES]
     if pack == 1:
-        out_ref[js[0], :] = jnp.sum(m, axis=1)
+        out_ref[pl.ds(jg[0], 1), :] = jnp.sum(m, axis=1)[None]
     else:
         for s in range(pack):
-            out_ref[js[s], :] = jnp.sum(
-                jnp.where(masks[s], m, 0.0), axis=1)
+            out_ref[pl.ds(jg[s], 1), :] = jnp.sum(
+                jnp.where(masks[s], m, 0.0), axis=1)[None]
 
 
 @functools.partial(jax.jit,
@@ -496,25 +551,25 @@ def descriptor_fused(values, ys0, xs0, par, rows: int,
     assert block_k % pack == 0 and block_k % 8 == 0
     k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
+    ys0, xs0 = _clamp_origins(ys0, xs0, values, rows)
+    par = _pad_par_lanes(par)
     if kp != k:
         ys0, xs0, par = _pad_args(ys0, xs0, par, k, kp)
+    sh = _roll_shifts(par, pack)
     cnt = jnp.full((1,), kp, jnp.int32) if count is None \
         else jnp.minimum(count, kp).astype(jnp.int32).reshape(1)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(kp // block_k,),
+        num_scalar_prefetch=4,
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((block_k, NPAR), lambda i, *_: (i, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((block_k, _D * _D * _NBD),
-                               lambda i, *_: (i, 0),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((2, block_k, rows, DMA_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, block_k)),
+            pltpu.VMEM((NBUF, block_k, rows, DMA_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
     out = pl.pallas_call(
@@ -524,5 +579,5 @@ def descriptor_fused(values, ys0, xs0, par, rows: int,
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
-    )(cnt, ys0, xs0, par, values)
+    )(cnt, ys0, xs0, sh, par, values)
     return out[:k]

@@ -47,16 +47,26 @@ def fused_setup():
     ws = np.array([320, 160, 80])[octv]
     px = rng.uniform(2, ws - 3)
     py = rng.uniform(2, hs - 3)
+    # Sizes straddle the static window bound: the pipeline only emits
+    # scl_octv <= sigma * 2^((L+.5)/L) (max_descr_radius), but the
+    # kernels must stay sane past it — an out-of-contract keypoint's
+    # masks rely on the uncapped par radius, which once let rolled
+    # pack=1 windows pass wrapped lanes as far-off pixels (descriptor
+    # max-abs error 39 quantized units vs the flat path's 7).
     kp = dict(
         octave=jnp.asarray(octv),
         x=jnp.asarray(px * (2.0 ** octv), jnp.float32),
         y=jnp.asarray(py * (2.0 ** octv), jnp.float32),
         layer=jnp.asarray(rng.integers(1, L - 2, K), jnp.int32),
-        size=jnp.asarray(rng.uniform(1.6, 6.0, K) * (2.0 ** octv),
+        size=jnp.asarray(rng.uniform(1.6, 18.0, K) * (2.0 ** octv),
                          jnp.float32),
         angle=jnp.asarray(rng.uniform(0, 360, K), jnp.float32),
         valid=jnp.asarray(rng.uniform(0, 1, K) > 0.1),
     )
+    # In-contract mask: descriptor radius within the static window bound.
+    scl = np.asarray(kp["size"]) * 0.5 * (2.0 ** -octv.astype(np.float64))
+    radius = np.round(3.0 * scl * np.sqrt(2.0) * 2.5)
+    kp["in_contract"] = radius <= max_descr_radius(cfg)
     return cfg, gauss, slab, kp
 
 
@@ -71,8 +81,15 @@ def test_orientation_fused_matches_flat(fused_setup):
         slab, kp["octave"], kp["x"], kp["y"], kp["layer"],
         kp["size"], kp["valid"], cfg, interpret=True)
     a, b = np.asarray(h_flat), np.asarray(h_fused)
-    # f32 accumulation-order noise only.
-    assert np.max(np.abs(a - b) / (np.abs(a) + 1e-3)) < 1e-4
+    # f32 accumulation-order noise only — for keypoints inside the
+    # static radius bound.  Out-of-contract patches overflow their
+    # lane-packing segment and truncate differently from the flat
+    # window (unreachable from the pipeline); they only must stay
+    # finite.
+    inc = kp["in_contract"]
+    rel = np.max(np.abs(a - b) / (np.abs(a) + 1e-3), axis=1)
+    assert rel[inc].max() < 1e-4
+    assert np.isfinite(b).all()
 
 
 def test_descriptor_fused_matches_flat(fused_setup):
@@ -89,9 +106,14 @@ def test_descriptor_fused_matches_flat(fused_setup):
     # The flat path reads 10/14-bit packed gradients; fused recomputes
     # full-precision gradients in-kernel.  The reference's own descriptor
     # tolerance is +-1 quantized unit (HostInterface.cu:369-376).
-    diff = np.abs(qf - qp)
-    assert diff.max() <= 1.0
-    assert (diff > 0).mean() < 0.1
+    diff = np.abs(qf - qp).max(axis=1)
+    inc = kp["in_contract"]
+    assert diff[inc].max() <= 1.0
+    # Out-of-contract keypoints (never produced by the pipeline) only
+    # have to stay window-extent-close to the flat path; the rolled
+    # pack=1 wrap bug scored 39 here.
+    assert diff[~inc].max() <= 10.0
+    assert (np.abs(qf - qp) > 0).mean() < 0.1
 
 
 def test_detector_fused_end_to_end(test_image):
