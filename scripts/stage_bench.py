@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sift_tpu.config import SIFT_IMG_BORDER, SiftConfig
+from sift_tpu.config import SiftConfig
 from sift_tpu.core.types import build_plan
 from sift_tpu.kernels.window_gather import window_rows
 from sift_tpu.ops import compact as C
@@ -31,36 +31,45 @@ from sift_tpu.ops import orientation as O
 from sift_tpu.ops.descriptor import max_descr_radius
 from sift_tpu.ops.flatpyr import stack_pyramid
 from sift_tpu.ops.orientation import max_ori_radius
-from sift_tpu.ops.peaks import find_candidates
-from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
-from sift_tpu.ops.refine_dense import refine_keypoints_dense_all
+from sift_tpu.ops.records import (candidates_from_records,
+                                  detect_records_padded,
+                                  walk_records_all)
+from sift_tpu.ops.pyramid import (gaussian_pyramid_padded,
+                                  padded_content_views)
 from sift_tpu.perf.timing import measure_ms
 
-STAGES = ["pyramid", "extrema", "refine", "compact", "stackslab",
+STAGES = ["pyramid", "records", "walk", "compact", "stackslab",
           "ori_hist", "peaks+expand", "descriptor"]
 
 
 def build_prefix_fn(plan, n_stages):
-    """Stage order: 1 pyramid, 2 extrema, 3 refine (fused all-octave),
-    4 compaction, 5 stack slab, 6 fused orientation histogram kernel
-    (count-gated), 7 peak finding + expansion compaction, 8 descriptor
-    kernel (count-gated)."""
+    """Stage order: 1 pyramid, 2 fused detect records (DoG + extrema +
+    Newton records, one Pallas pass per octave) + candidate compaction,
+    3 all-octave Newton walk, 4 compaction, 5 stack slab, 6 fused
+    orientation histogram kernel (count-gated), 7 peak finding +
+    expansion compaction, 8 descriptor kernel (count-gated)."""
     cfg = plan.config
     kcap = cfg.num_features
     rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
 
     def fn(image):
-        gauss = gaussian_pyramid(plan, image)
-        dogs = dog_pyramid(gauss)
+        gp = gaussian_pyramid_padded(plan, image)
+        gauss = padded_content_views(plan, gp)
         if n_stages == 1:
-            return sum(jnp.sum(d[0]) for d in dogs) + jnp.sum(gauss[0][0])
-        cands = [find_candidates(dogs[o], cfg.peak_threshold,
-                                 SIFT_IMG_BORDER, plan.octaves[o].cand_cap)
+            # Touch EVERY layer (the per-layer blurs are independent
+            # matmuls — a layer the probe misses is DCE'd away).
+            return sum(jnp.sum(g[:, :8]) for g in gp)
+        recs = [detect_records_padded(gp[o], plan.octaves[o].height,
+                                      plan.octaves[o].width, cfg,
+                                      "pallas")
+                for o in range(cfg.num_octaves)]
+        cands = [candidates_from_records(recs[o],
+                                         plan.octaves[o].cand_cap)
                  for o in range(cfg.num_octaves)]
         if n_stages == 2:
             return sum(jnp.sum(cx) + jnp.sum(cv)
                        for cx, _, _, cv in cands)
-        ref, roct = refine_keypoints_dense_all(dogs, cands, cfg)
+        ref, roct = walk_records_all(recs, cands, cfg)
         if n_stages == 3:
             return jnp.sum(ref.x) + jnp.sum(ref.valid)
         idx, val = C.stream_compact(ref.valid, kcap)

@@ -78,6 +78,59 @@ def blur_operator(length: int, kernel: np.ndarray,
     return m.astype(dtype)
 
 
+def banded_blocks_multi(ops, tile: int, pad_top: int, out_rows: int,
+                        dtype=np.float32):
+    """Band-blocked form of a stack of banded operators, for tiled MXU
+    application (ops/blur.blur_tiled).
+
+    ops: list of [n_content, n_in] float64 operators sharing n_in (the
+    per-layer composed blur chains).  Conceptually each is zero-padded
+    to [out_rows, n_in] with its rows placed at [pad_top, pad_top +
+    n_content) — the padded pyramid layout — then cut into out_rows //
+    tile uniform row tiles.  Because the operators are banded, tile t
+    only reads input columns [off[t], off[t] + band): the dense
+    [n, n] @ [n, w] matmul (O(n^2 w), the round-3 pyramid bottleneck at
+    large frames) becomes nT [tile, band] @ [band, w] matmuls
+    (O(n*band*w)).
+
+    Columns whose largest tap is below 1e-9 of the operator's max are
+    dropped from the band: the composed chains' tails decay to 1e-30
+    while the f32 arithmetic floor is ~1e-7.
+
+    Returns (blocks [nT, len(ops), tile, band] ``dtype``, offsets [nT]
+    int64 numpy — static slice starts)."""
+    n_c, n_in = ops[0].shape
+    assert out_rows % tile == 0
+    nt = out_rows // tile
+    exts = []
+    for t in range(nt):
+        r0 = max(t * tile - pad_top, 0)
+        r1 = min((t + 1) * tile - pad_top, n_c)
+        if r0 >= r1:
+            exts.append((0, 1))
+            continue
+        lo, hi = n_in, 0
+        for op in ops:
+            sub = np.abs(op[r0:r1])
+            nz = np.nonzero(sub.max(axis=0) > 1e-9 * sub.max())[0]
+            lo, hi = min(lo, int(nz[0])), max(hi, int(nz[-1]) + 1)
+        exts.append((lo, hi))
+    band = max(hi - lo for lo, hi in exts)
+    band = min(-(-band // 8) * 8, n_in)
+    blocks = np.zeros((nt, len(ops), tile, band), np.float64)
+    offs = np.zeros((nt,), np.int64)
+    for t, (lo, hi) in enumerate(exts):
+        off = min(max(lo, 0), n_in - band)
+        offs[t] = off
+        r0 = max(t * tile - pad_top, 0)
+        r1 = min((t + 1) * tile - pad_top, n_c)
+        if r0 < r1:
+            a = r0 + pad_top - t * tile
+            for li, op in enumerate(ops):
+                blocks[t, li, a:a + (r1 - r0)] = op[r0:r1, off:off + band]
+    return blocks.astype(dtype), offs
+
+
 def resize_operator(out_len: int, in_len: int,
                     dtype=np.float32) -> np.ndarray:
     """[out_len, in_len] bilinear-resize matrix with the reference's

@@ -131,6 +131,12 @@ class SiftPlan:
     # checkpoints (reference keeps them in SiftData, types/SiftData.cuh:28).
     kernels_1d: Tuple[np.ndarray, ...]
     init_kernel_1d: np.ndarray
+    # Band-blocked per-octave blur operators (gaussian.banded_blocks_multi)
+    # for the padded-layout pyramid (ops/blur.blur_tiled): per octave
+    # ((vblocks, voffs), (hblocks, hoffs)).  Output layout: content rows
+    # at [8, 8 + h), lanes [0, w), total rows/cols from the block grids.
+    tiled_v: Tuple[tuple, ...] = ()
+    tiled_h: Tuple[tuple, ...] = ()
 
 
 def _octave_dims(cfg: SiftConfig) -> List[Tuple[int, int]]:
@@ -238,10 +244,24 @@ def build_plan(cfg: SiftConfig) -> SiftPlan:
     kernels_1d = tuple(
         g.gaussian_kernel_1d(float(s), cfg.kernel_truncate,
                              np.float32) for s in sigmas)
+
+    # Band-blocked operators for the padded-layout tiled pyramid.
+    # Row grid must cover the fused detect kernel's tile layout
+    # (kernels/fused_detect.py: ceil(h/32)*32 + 16 rows, content at
+    # row 8); 128-row/col tiles feed the MXU.
+    tiled_v, tiled_h = [], []
+    for o, (h, w) in enumerate(dims):
+        need = 32 * (-(-h // 32)) + 16
+        hv = 128 * (-(-need // 128))
+        wp = 128 * (-(-max(w, 128) // 128))
+        tiled_v.append(g.banded_blocks_multi(acc64_v[o], 128, 8, hv))
+        tiled_h.append(g.banded_blocks_multi(acc64_h[o], 128, 0, wp))
+
     return SiftPlan(config=cfg, octaves=tuple(octaves),
                     blur_v=tuple(blur_v), blur_h=tuple(blur_h),
                     init_v=init_v, init_h=init_h, up_v=up_v, up_h=up_h,
                     down_v=tuple(down_v), down_h=tuple(down_h),
                     carry_v=tuple(carry_v), carry_h=tuple(carry_h),
                     kernels_1d=kernels_1d,
-                    init_kernel_1d=init_k.astype(np.float32))
+                    init_kernel_1d=init_k.astype(np.float32),
+                    tiled_v=tuple(tiled_v), tiled_h=tuple(tiled_h))

@@ -39,6 +39,39 @@ def blur_matmul(img: jnp.ndarray, op_v: jnp.ndarray,
     return jnp.matmul(out, jnp.swapaxes(op_h, -1, -2), precision=_PRECISION)
 
 
+def blur_tiled(base: jnp.ndarray, vblk, voff, hblk, hoff) -> jnp.ndarray:
+    """All of one octave's layers from its base via band-blocked
+    operators (core/gaussian.banded_blocks_multi), emitting the PADDED
+    pyramid layout directly: content rows at [HALO, HALO + h), content
+    lanes at [0, w), zeros elsewhere — the zero padding is rows/cols of
+    the operators, so it costs nothing and the fused detect kernel
+    (kernels/fused_detect.py) consumes the result with no copy.
+
+    base: [h_in, w_in] f32.  vblk: [nT, NL, T, Bv]; hblk: [nTc, NL, Tc,
+    Bh]; voff/hoff: static numpy offsets.  Returns [NL, nT*T, nTc*Tc].
+
+    The dense equivalent (blur_matmul with [n, n] operators) is
+    O(n^2 w) — the round-3 pyramid bottleneck at 1600x900+ (2.2 ms);
+    band-blocking cuts each matmul's contraction to the band width
+    (~4-8x fewer FLOPs) while staying on the MXU."""
+    nt, nl, t, bv = vblk.shape
+    ntc, _, tc, bh = hblk.shape
+    w_in = base.shape[1]
+    tiles = jnp.stack([
+        jax.lax.slice(base, (int(voff[i]), 0),
+                      (int(voff[i]) + bv, w_in)) for i in range(nt)])
+    x = jnp.einsum("tlab,tbw->ltaw", vblk, tiles,
+                   precision=_PRECISION)              # [NL, nT, T, w_in]
+    x = x.reshape(nl, nt * t, w_in)
+    outs = []
+    for i in range(ntc):
+        sl = jax.lax.slice(x, (0, 0, int(hoff[i])),
+                           (nl, nt * t, int(hoff[i]) + bh))
+        outs.append(jnp.einsum("lhb,lcb->lhc", sl, hblk[i],
+                               precision=_PRECISION))
+    return jnp.concatenate(outs, axis=-1)
+
+
 def _reflect_pad_1d(img: jnp.ndarray, half: int, axis: int) -> jnp.ndarray:
     """Reflect-101 padding via static index gather (works for any pad size,
     unlike jnp.pad(mode='reflect') which requires pad < dim)."""

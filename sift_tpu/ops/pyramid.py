@@ -19,8 +19,60 @@ from typing import List
 import jax.numpy as jnp
 
 from sift_tpu.core.types import SiftPlan
-from sift_tpu.ops.blur import blur_matmul, blur_conv
+from sift_tpu.ops.blur import blur_conv, blur_matmul, blur_tiled
 from sift_tpu.ops.resize import resize_matmul
+
+
+def gaussian_pyramid_padded(plan: SiftPlan,
+                            image: jnp.ndarray) -> List[jnp.ndarray]:
+    """The pipeline's pyramid: per-octave [L+3, Hv_o, Wp_o] stacks in
+    the PADDED layout (content rows at [8, 8 + h_o), lanes [0, w_o),
+    zeros elsewhere) via band-blocked tiled matmuls — the padding is
+    zero rows/cols of the operators, so the fused detect kernel
+    consumes the result with no repacking copy, and the band-blocking
+    keeps the blur O(n * band * w) instead of the dense operators'
+    O(n^2 w) (the round-3 large-frame pyramid bottleneck).
+
+    Octave BASES (layer-0 sources) stay in natural shape: the init and
+    carry operators are small dense matmuls."""
+    cfg = plan.config
+    if cfg.blur_impl == "conv":
+        out = []
+        for o, b in enumerate(_gaussian_pyramid_conv(
+                plan, _init_base(plan, image))):
+            vb, _ = plan.tiled_v[o]
+            hb, _ = plan.tiled_h[o]
+            hv, wp = vb.shape[0] * vb.shape[2], hb.shape[0] * hb.shape[2]
+            out.append(jnp.pad(b, ((0, 0), (8, hv - 8 - b.shape[1]),
+                                   (0, wp - b.shape[2]))))
+        return out
+
+    base = blur_matmul(_init_base(plan, image), jnp.asarray(plan.init_v),
+                       jnp.asarray(plan.init_h))
+    octaves = []
+    for o in range(cfg.num_octaves):
+        if o > 0:
+            base = blur_matmul(base, jnp.asarray(plan.carry_v[o]),
+                               jnp.asarray(plan.carry_h[o]))
+        vb, vo = plan.tiled_v[o]
+        hb, ho = plan.tiled_h[o]
+        octaves.append(blur_tiled(base, jnp.asarray(vb), vo,
+                                  jnp.asarray(hb), ho))
+    return octaves
+
+
+def padded_content_views(plan: SiftPlan, gp: List[jnp.ndarray]):
+    """Natural-shape views [L+3, h_o, w_o] of a padded pyramid (lazy
+    slices — they fuse into whatever consumes them)."""
+    return [g[:, 8:8 + op.height, :op.width]
+            for g, op in zip(gp, plan.octaves)]
+
+
+def _init_base(plan: SiftPlan, image: jnp.ndarray) -> jnp.ndarray:
+    if plan.config.upscale:
+        return resize_matmul(image, jnp.asarray(plan.up_v),
+                             jnp.asarray(plan.up_h))
+    return image
 
 
 def gaussian_pyramid(plan: SiftPlan, image: jnp.ndarray) -> List[jnp.ndarray]:

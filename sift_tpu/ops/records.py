@@ -1,0 +1,269 @@
+"""Plane-layout Newton record fields: the dense detection stages
+(DoG, extrema, per-pixel quadratic records) as ONE field per octave,
+with candidate compaction and the Newton walk reading it.
+
+This is the TPU-fused successor of the (ops/peaks.find_candidates +
+ops/refine_dense.refine_keypoints_dense_all) pipeline stage pair:
+equivalent capability to the reference's ``findPeaks3D`` +
+``adjustExtrema`` + ``collectKpts`` chain
+(/root/reference/sift_cuda/image_func/MatOps.cu:92-181,
+sift_func/SiftOps.cu:63-235), restructured so the whole dense part is a
+single Pallas pass per octave (kernels/fused_detect.py) and the only
+dense buffer that ever reaches HBM is the record field itself.
+
+Record packing — built for the walk's HBM gather cost, the stage's
+real bottleneck (TPU scattered element loads run ~9 ns each; a 5-step
+walk over K candidates reading 5 channels a step moved 30K elements).
+Three f32 planes per record layer; integer payloads, exact in f32:
+
+    A = flags + 32*(sx+32) + 2048*(sy+32) + 131072*(sl+8)
+        flags = conv | div<<1 | edge_ok<<2 | peak<<3 | contrast_ok<<4
+        sx/sy = round(x0/x1) clamped to [-32, 31], sl = round(x2)
+        clamped to [-8, 7] — everything a walk STEP consumes, one
+        element per candidate per step.
+    B = round((x0+0.5)*2000) + 2048*round((x1+0.5)*2000)
+    C = round((x2+0.5)*1000) + 1024*round(min(|contrast|,1)*8191)
+        — sub-pixel offsets and the response value, consumed ONCE at
+        the final (converged) position, where |x_i| < 0.5 by the
+        convergence test.  contrast_ok is decided in the kernel at
+        FULL f32 precision (bit 4 of A), so quantization never moves
+        an accept decision; C's payloads only shape output values
+        (x/y to 5e-4 px in octave coords, response to 1.2e-4).
+
+The extrema mask rides flags bit 3, so candidates are one compaction
+over the A plane, and the DoG volume is never materialized.  The jnp
+path (``records_jnp``) produces the identical packing from the shared
+record math (ops/refine_dense.record_fields + ops/peaks pooling) — it
+is the CPU/parity reference and the small-octave path.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sift_tpu.config import (SIFT_IMG_BORDER, SIFT_MAX_INTERP_STEPS,
+                             SiftConfig)
+from sift_tpu.ops.compact import stream_compact
+from sift_tpu.ops.peaks import peak_mask
+from sift_tpu.ops.refine_dense import RefinedKeypoints, record_fields
+
+# Step clamps (see module docstring).  The stacked-record walk
+# (ops/refine_dense._newton_walk) applies the same clamps so the two
+# paths stay decision-identical.
+STEP_CLIP_XY = 31
+STEP_CLIP_L = 7
+_XSCALE = 2000.0     # sub-pixel x0/x1 resolution (1/2000 px)
+_SSCALE = 1000.0     # x2 resolution
+_CSCALE = 8191.0     # |contrast| resolution
+
+
+def pack_record_channels(x0, x1, x2, contrast, flags, peak, cok):
+    """(x0, x1, x2, |contrast|, flags<=7) + peak/contrast_ok bits ->
+    (A, B, C) f32 planes.  Pure jnp — runs identically inside the
+    Pallas kernel and in the jnp reference path."""
+    def clip_step(x, c):
+        return jnp.clip(jnp.round(x), -(c + 1), c)
+
+    a = (flags + 8.0 * peak.astype(jnp.float32)
+         + 16.0 * cok.astype(jnp.float32)
+         + 32.0 * (clip_step(x0, STEP_CLIP_XY) + 32.0)
+         + 2048.0 * (clip_step(x1, STEP_CLIP_XY) + 32.0)
+         + 131072.0 * (clip_step(x2, STEP_CLIP_L) + 8.0))
+    qx0 = jnp.clip(jnp.round((x0 + 0.5) * _XSCALE), 0.0, 2047.0)
+    qx1 = jnp.clip(jnp.round((x1 + 0.5) * _XSCALE), 0.0, 2047.0)
+    b = qx0 + 2048.0 * qx1
+    qx2 = jnp.clip(jnp.round((x2 + 0.5) * _SSCALE), 0.0, 1023.0)
+    qc = jnp.clip(jnp.round(contrast * _CSCALE), 0.0, _CSCALE)
+    c = qx2 + 1024.0 * qc
+    return a, b, c
+
+
+def _bit(a, k):
+    return jnp.mod(jnp.floor(a * (1.0 / (1 << k))), 2.0) > 0.5
+
+
+def decode_steps(a):
+    """A plane -> (conv, div, sx, sy, sl): everything a walk step needs."""
+    conv = _bit(a, 0)
+    div = _bit(a, 1)
+    sx = jnp.mod(jnp.floor(a * (1.0 / 32.0)), 64.0) - 32.0
+    sy = jnp.mod(jnp.floor(a * (1.0 / 2048.0)), 64.0) - 32.0
+    sl = jnp.mod(jnp.floor(a * (1.0 / 131072.0)), 16.0) - 8.0
+    return conv, div, (sx.astype(jnp.int32), sy.astype(jnp.int32),
+                       sl.astype(jnp.int32))
+
+
+def decode_final(a, b, c):
+    """(A, B, C) at the final position -> (edge_ok, contrast_ok,
+    x0, x1, x2, response)."""
+    edge = _bit(a, 2)
+    cok = _bit(a, 4)
+    x0 = jnp.mod(b, 2048.0) * (1.0 / _XSCALE) - 0.5
+    x1 = jnp.floor(b * (1.0 / 2048.0)) * (1.0 / _XSCALE) - 0.5
+    x2 = jnp.mod(c, 1024.0) * (1.0 / _SSCALE) - 0.5
+    resp = jnp.floor(c * (1.0 / 1024.0)) * (1.0 / _CSCALE)
+    return edge, cok, x0, x1, x2, resp
+
+
+class OctaveRecords(NamedTuple):
+    """One octave's packed record field.
+
+    values: [L, 3, Hq, Wp] f32 (record layers 1..L of the DoG stack,
+    channels A/B/C; Hq >= h, Wp >= w row/lane padding — padded pixels
+    carry A without the peak bit, so they can never become candidates,
+    and the walk's clamps keep live candidates off them).
+    """
+
+    values: jnp.ndarray
+    h: int
+    w: int
+
+
+def records_jnp(gauss_oct: jnp.ndarray, cfg: SiftConfig) -> OctaveRecords:
+    """jnp reference path, same packing/layout as the Pallas kernel
+    ([L, 3, Hq, Wp] with Hq = align8(H), Wp = align128(W))."""
+    nl, h, w = gauss_oct.shape
+    dog = gauss_oct[1:] - gauss_oct[:-1]
+    x0, x1, x2, contrast, flags = record_fields(dog, cfg)
+    mask, _ = peak_mask(dog, cfg.peak_threshold, SIFT_IMG_BORDER)
+    cok = contrast * cfg.num_octave_layers >= cfg.contrast_threshold
+    a, b, c = pack_record_channels(x0, x1, x2, contrast, flags, mask, cok)
+    rec = jnp.stack([a, b, c], axis=1)                  # [L, 3, H, W]
+    hq = -(-max(h, 8) // 8) * 8
+    wp = -(-max(w, 128) // 128) * 128
+    rec = jnp.pad(rec, ((0, 0), (0, 0), (0, hq - h), (0, wp - w)))
+    return OctaveRecords(values=rec, h=h, w=w)
+
+
+def detect_records_padded(gp: jnp.ndarray, h: int, w: int,
+                          cfg: SiftConfig, impl: str) -> OctaveRecords:
+    """Record field from a PADDED-layout octave [NL, Hv, Wp] (content
+    rows [8, 8+h), lanes [0, w) — what the tiled pyramid emits): the
+    fused Pallas kernel reads it with zero repacking; the jnp fallback
+    slices the content out.  ``impl``: resolved gather_impl."""
+    from sift_tpu.kernels.fused_detect import (HALO, MIN_PALLAS_H,
+                                               MIN_PALLAS_W,
+                                               detect_records_pallas)
+    if (impl in ("pallas", "pallas_interpret")
+            and h >= MIN_PALLAS_H and w >= MIN_PALLAS_W):
+        rec = detect_records_pallas(
+            gp, h, w, float(cfg.peak_threshold), SIFT_IMG_BORDER,
+            float(cfg.edge_threshold), float(cfg.contrast_threshold),
+            cfg.num_octave_layers,
+            interpret=(impl == "pallas_interpret"))
+        return OctaveRecords(values=rec, h=h, w=w)
+    return records_jnp(gp[:, HALO:HALO + h, :w], cfg)
+
+
+def detect_records(gauss_oct: jnp.ndarray, cfg: SiftConfig,
+                   impl: str) -> OctaveRecords:
+    """detect_records_padded for a natural-shape octave [NL, h, w]
+    (pads first — parity/test entry; the pipeline feeds the padded
+    layout directly)."""
+    from sift_tpu.kernels.fused_detect import pad_octave_for_detect
+    nl, h, w = gauss_oct.shape
+    if impl in ("pallas", "pallas_interpret"):
+        return detect_records_padded(pad_octave_for_detect(gauss_oct, h),
+                                     h, w, cfg, impl)
+    return records_jnp(gauss_oct, cfg)
+
+
+def candidates_from_records(rec: OctaveRecords, cap: int):
+    """Extrema candidates from the A plane's peak bit — the
+    find_candidates equivalent (same compaction semantics: first ``cap``
+    set bits in layer-major index order).  Returns (x, y, layer, valid),
+    layer in 1..L (DoG layer index, MatOps.cu:177)."""
+    nrec, _, hq, wp = rec.values.shape
+    mask = _bit(rec.values[:, 0], 3).reshape(-1)
+    idx, valid = stream_compact(mask, cap)
+    lyr = idx // (hq * wp) + 1
+    rem = idx % (hq * wp)
+    y = rem // wp
+    x = rem % wp
+    return (x.astype(jnp.int32), y.astype(jnp.int32),
+            lyr.astype(jnp.int32), valid)
+
+
+def walk_records_all(recs: List[OctaveRecords], cands, cfg: SiftConfig
+                     ) -> Tuple[RefinedKeypoints, jnp.ndarray]:
+    """ALL octaves' candidates in ONE Newton walk over the concatenated
+    packed record fields.  Each of the 5 steps gathers ONE element per
+    candidate (the A plane); B/C are gathered once at the final
+    position.  cands: per-octave (cx, cy, clayer, cvalid).  Returns
+    (RefinedKeypoints concatenated octave-major, octave [K])."""
+    d = recs[0].values.shape[0] + 2          # DoG layer count
+    border = SIFT_IMG_BORDER
+    flats, bases, hs, ws, hqs, wps = [], [], [], [], [], []
+    row = 0
+    for rr in recs:
+        nrec, _, hq, wp = rr.values.shape
+        flats.append(rr.values.reshape(-1))
+        bases.append(row)
+        hs.append(rr.h)
+        ws.append(rr.w)
+        hqs.append(hq)
+        wps.append(wp)
+        row += rr.values.size
+    flat = jnp.concatenate(flats)
+
+    octv = jnp.concatenate([
+        jnp.full(cc[0].shape, o, jnp.int32) for o, cc in enumerate(cands)])
+    cat = lambda i: jnp.concatenate([jnp.asarray(cc[i]) for cc in cands])
+    cx, cy, clayer, cvalid = cat(0), cat(1), cat(2), cat(3)
+    take = lambda t: jnp.take(jnp.asarray(t, jnp.int32), octv)
+    base, h, w = take(bases), take(hs), take(ws)
+    hqwp = take([hq * wp for hq, wp in zip(hqs, wps)])
+    wp = take(wps)
+
+    def pos_idx(l, r, c):
+        return (base + (jnp.clip(l, 1, d - 2) - 1) * 3 * hqwp
+                + jnp.clip(r, 0, h - 1) * wp + jnp.clip(c, 0, w - 1))
+
+    c = cx.astype(jnp.int32)
+    r = cy.astype(jnp.int32)
+    l = clayer.astype(jnp.int32)
+    alive = cvalid
+    converged = jnp.zeros_like(alive)
+
+    for _ in range(int(SIFT_MAX_INTERP_STEPS)):
+        active = alive & ~converged
+        a = jnp.take(flat, pos_idx(l, r, c))
+        conv_now, diverged, (sx, sy, sl) = decode_steps(a)
+        step = active & ~conv_now & ~diverged
+        nl = l - sl
+        nr = r - sy
+        nc = c - sx
+        oob = ((nl < 1) | (nl > d - 2)
+               | (nr < border) | (nr >= h - border)
+               | (nc < border) | (nc >= w - border))
+        l = jnp.where(step, jnp.clip(nl, 0, d - 1), l)
+        r = jnp.where(step, jnp.clip(nr, 0, h - 1), r)
+        c = jnp.where(step, jnp.clip(nc, 0, w - 1), c)
+        alive = alive & ~(active & (diverged | (step & oob)))
+        converged = converged | (active & conv_now)
+
+    ok = alive & converged
+    fi = pos_idx(l, r, c)
+    fin = jnp.take(flat, fi[:, None]
+                   + jnp.arange(3, dtype=jnp.int32)[None, :]
+                   * hqwp[:, None])
+    edge, cok, x0, x1, x2, resp = decode_final(
+        fin[:, 0], fin[:, 1], fin[:, 2])
+    ok = ok & cok & edge
+
+    scale = jnp.exp2(octv.astype(jnp.float32))
+    if cfg.subpixel:
+        fx = (c.astype(jnp.float32) - x0) * scale
+        fy = (r.astype(jnp.float32) - x1) * scale
+    else:
+        fx = c.astype(jnp.float32) * scale
+        fy = r.astype(jnp.float32) * scale
+    xi = -x2
+    size = (cfg.sigma * jnp.power(2.0, (l.astype(jnp.float32) + xi)
+                                  / cfg.num_octave_layers) * scale * 2.0)
+    ref = RefinedKeypoints(x=fx, y=fy, layer=l, xi=xi, size=size,
+                           response=resp, valid=ok)
+    return ref, octv

@@ -65,11 +65,15 @@ def record_dtype(cfg: SiftConfig):
     return jnp.bfloat16 if mode == "bfloat16" else jnp.float32
 
 
-def _dense_records(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
-    """dog [D, H, W] -> records [D-2, H, W, 5] for layers 1..D-2 only
-    (boundary pixels garbage; the walk never consults them for live
-    candidates, and any Newton step out of layers [1, D-2] kills its
-    candidate — so end layers are never needed)."""
+def record_fields(dog: jnp.ndarray, cfg: SiftConfig):
+    """dog [D, H, W] -> five [D-2, H, W] record channels
+    (x0, x1, x2, |contrast|, flags) for layers 1..D-2 only (boundary
+    pixels garbage; the walk never consults them for live candidates,
+    and any Newton step out of layers [1, D-2] kills its candidate — so
+    end layers are never needed).  Shared math of the stacked-record
+    path below and the plane-layout fused path (ops/records.py): the
+    fused Pallas kernel (kernels/fused_detect.py) computes the same
+    expressions tile-wise in VMEM."""
     d, h, w = dog.shape
 
     def sh(dl, dr, dc):
@@ -119,7 +123,12 @@ def _dense_records(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
 
     flags = (conv.astype(jnp.float32) + 2.0 * div.astype(jnp.float32)
              + 4.0 * edge_ok.astype(jnp.float32))
-    return jnp.stack([x0, x1, x2, jnp.abs(contrast), flags],
+    return x0, x1, x2, jnp.abs(contrast), flags
+
+
+def _dense_records(dog: jnp.ndarray, cfg: SiftConfig) -> jnp.ndarray:
+    """record_fields stacked channel-last: [D-2, H, W, 5]."""
+    return jnp.stack(record_fields(dog, cfg),
                      axis=-1).astype(record_dtype(cfg))
 
 
@@ -202,9 +211,15 @@ def _newton_walk(fetch, cx, cy, clayer, cvalid, d, h, w, scale,
         conv_now = jnp.mod(flags, 2.0) > 0.5
         diverged = jnp.mod(jnp.floor(flags * 0.5), 2.0) > 0.5
         step = active & ~conv_now & ~diverged
-        nl = l - jnp.round(nx2).astype(jnp.int32)
-        nr = r - jnp.round(nx1).astype(jnp.int32)
-        nc = c - jnp.round(nx0).astype(jnp.int32)
+        # Step clamps match the packed-record walk (ops/records.py
+        # STEP_CLIP_*): spatial steps to [-32, 31], layer to [-8, 7].
+        # Layer clamping is exactly equivalent (any |step| > 2 exits
+        # [1, d-2] either way); spatial clamping deviates only for
+        # |round(x)| > 31 — quadratic-fit steps that large are
+        # divergence chases, and both walk paths must agree bit-for-bit.
+        nl = l - jnp.clip(jnp.round(nx2), -8, 7).astype(jnp.int32)
+        nr = r - jnp.clip(jnp.round(nx1), -32, 31).astype(jnp.int32)
+        nc = c - jnp.clip(jnp.round(nx0), -32, 31).astype(jnp.int32)
         oob = ((nl < 1) | (nl > d - 2)
                | (nr < border) | (nr >= h - border)
                | (nc < border) | (nc >= w - border))
@@ -221,7 +236,10 @@ def _newton_walk(fetch, cx, cy, clayer, cvalid, d, h, w, scale,
     final = fetch(l, r, c)
     contrast = final[:, 3]
     ok = ok & (contrast * cfg.num_octave_layers >= cfg.contrast_threshold)
-    ok = ok & (final[:, 4] >= 4.0)      # edge_ok bit
+    # edge_ok bit (bit 2).  Bit arithmetic, not >= 4: plane-layout
+    # records (ops/records.py) fold the extrema-peak bit into bit 3, so
+    # flags may exceed 7 without the edge bit being set.
+    ok = ok & (jnp.mod(jnp.floor(final[:, 4] * 0.25), 2.0) > 0.5)
 
     if cfg.subpixel:
         fx = (c.astype(jnp.float32) - x0) * scale

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from sift_tpu.config import SIFT_IMG_BORDER, SiftConfig
+from sift_tpu.config import SiftConfig
 from sift_tpu.core.types import Keypoints, SiftPlan, SiftResult, build_plan
 from sift_tpu.ops import compact as C
 from sift_tpu.ops import descriptor as D
@@ -40,9 +40,7 @@ from sift_tpu.ops import orientation as O
 from sift_tpu.ops.flatpyr import (dense_gradients_packed,
                                   dense_gradients_padded, pad_pyramid,
                                   shift_copies)
-from sift_tpu.ops.peaks import find_candidates
-from sift_tpu.ops.pyramid import dog_pyramid, gaussian_pyramid
-from sift_tpu.ops.refine_dense import refine_keypoints_dense_all
+from sift_tpu.ops.pyramid import dog_pyramid
 
 
 def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
@@ -58,18 +56,33 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
     kcap = int(kpt_cap or cfg.num_features)
 
     def detect(image: jnp.ndarray) -> SiftResult:
-        gauss = gaussian_pyramid(plan, image)
-        dogs = dog_pyramid(gauss)
+        from sift_tpu.ops.flatpyr import resolve_gather_impl
+        from sift_tpu.ops.pyramid import (gaussian_pyramid_padded,
+                                          padded_content_views)
+        from sift_tpu.ops.records import (candidates_from_records,
+                                          detect_records_padded,
+                                          walk_records_all)
+        impl = resolve_gather_impl(cfg.gather_impl)
+        # Padded-layout pyramid (content rows at [8, 8+h)): the zero
+        # padding is baked into the band-blocked blur operators, so the
+        # fused detect kernel reads it with no repacking copy; all
+        # other consumers take lazy content views.
+        gp = gaussian_pyramid_padded(plan, image)
+        gauss = padded_content_views(plan, gp)
 
-        # Per-octave detection (octave-major order, matching the
-        # reference's cross-octave collection order,
-        # utils/CudaMemcpyUtils.cu:21-70), then ONE fused Newton walk
-        # over all octaves' candidates (dense path; the per-octave
-        # variants issue 5 latency-bound gather steps per octave).
-        cands = [find_candidates(dogs[o], cfg.peak_threshold,
-                                 SIFT_IMG_BORDER, plan.octaves[o].cand_cap)
+        # Dense detection: ONE fused pass per octave (DoG + extrema +
+        # Newton records, kernels/fused_detect.py — the DoG volume is
+        # never materialized), per-octave candidate compaction
+        # (octave-major order, matching the reference's cross-octave
+        # collection order, utils/CudaMemcpyUtils.cu:21-70), then ONE
+        # fused Newton walk over all octaves' candidates.
+        recs = [detect_records_padded(gp[o], plan.octaves[o].height,
+                                      plan.octaves[o].width, cfg, impl)
+                for o in range(cfg.num_octaves)]
+        cands = [candidates_from_records(recs[o],
+                                         plan.octaves[o].cand_cap)
                  for o in range(cfg.num_octaves)]
-        ref, roct = refine_keypoints_dense_all(dogs, cands, cfg)
+        ref, roct = walk_records_all(recs, cands, cfg)
         rx, ry, rlyr, rxi, rsize, rresp, rval = (
             ref.x, ref.y, ref.layer, ref.xi, ref.size, ref.response,
             ref.valid)
@@ -99,12 +112,15 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         # windows instead of silently dropping patch-edge pixels.
         from sift_tpu.kernels.window_gather import window_rows
         from sift_tpu.ops.descriptor import max_descr_radius
-        from sift_tpu.ops.flatpyr import resolve_gather_impl, stack_pyramid
+        from sift_tpu.ops.flatpyr import stack_pyramid
         from sift_tpu.ops.orientation import max_ori_radius
         rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
-        impl = resolve_gather_impl(cfg.gather_impl)
         fused = rmax <= 46 and impl in ("pallas", "pallas_interpret")
         interp = impl == "pallas_interpret"
+        # The DoG pyramid exists only for the non-default DoG
+        # orientation source (the fused detect path never builds it).
+        dogs = dog_pyramid(gauss) \
+            if cfg.orientation_source == "dog" else None
 
         if fused:
             # Fused-Pallas path (TPU): the kernels DMA RAW pixel windows

@@ -172,7 +172,8 @@ def test_odometry_cli_tum_sequence(tmp_path, capsys):
     ts, est_poses = T.read_tum_trajectory(str(out_file))
     assert len(est_poses) == 60
     est_p = np.stack([p[:3, 3] for p in est_poses])
-    assert abs(T.ate_rmse(est_p, gt_pos, with_scale=True) - ate) < 1e-5
+    # The CLI prints ATE with 4 decimals — round-off alone is 5e-5.
+    assert abs(T.ate_rmse(est_p, gt_pos, with_scale=True) - ate) < 6e-5
 
 
 def test_telemetry_stream(sequence, tmp_path):

@@ -79,3 +79,33 @@ def test_conv_path_matches_matmul_path(test_image):
     for o in range(min(3, cfg_m.num_octaves)):
         np.testing.assert_allclose(np.asarray(pm[o]), np.asarray(pc[o]),
                                    atol=2e-2)
+
+
+def test_padded_tiled_pyramid_matches_dense(test_image):
+    """gaussian_pyramid_padded (band-blocked tiled matmuls, the
+    pipeline path) must equal the dense-operator pyramid on the content
+    region to f32 noise, and its padding must be exactly zero (the
+    fused detect kernel and the slab builder rely on both)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sift_tpu.config import SiftConfig
+    from sift_tpu.core.types import build_plan
+    from sift_tpu.ops.pyramid import (gaussian_pyramid,
+                                      gaussian_pyramid_padded,
+                                      padded_content_views)
+
+    h, w = test_image.shape
+    cfg = SiftConfig(width=w, height=h)
+    plan = build_plan(cfg)
+    dense = gaussian_pyramid(plan, jnp.asarray(test_image))
+    gp = gaussian_pyramid_padded(plan, jnp.asarray(test_image))
+    views = padded_content_views(plan, gp)
+    for o in range(cfg.num_octaves):
+        a, b = np.asarray(dense[o]), np.asarray(views[o])
+        np.testing.assert_allclose(a, b, atol=2e-4)
+        g = np.asarray(gp[o])
+        hh, ww = a.shape[1], a.shape[2]
+        assert np.abs(g[:, :8]).max() == 0.0
+        assert np.abs(g[:, 8 + hh:]).max() == 0.0
+        assert np.abs(g[:, :, ww:]).max() == 0.0
