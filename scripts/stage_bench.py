@@ -32,8 +32,8 @@ from sift_tpu.ops.descriptor import max_descr_radius
 from sift_tpu.ops.flatpyr import stack_pyramid
 from sift_tpu.ops.orientation import max_ori_radius
 from sift_tpu.ops.records import (candidates_from_records,
-                                  detect_records_padded,
-                                  walk_records_all)
+                                  detect_records_padded, finalize_walk,
+                                  walk_records_positions)
 from sift_tpu.ops.pyramid import (gaussian_pyramid_padded,
                                   padded_content_views)
 from sift_tpu.perf.timing import measure_ms
@@ -69,15 +69,13 @@ def build_prefix_fn(plan, n_stages):
         if n_stages == 2:
             return sum(jnp.sum(cx) + jnp.sum(cv)
                        for cx, _, _, cv in cands)
-        ref, roct = walk_records_all(recs, cands, cfg)
+        st, rflat = walk_records_positions(recs, cands, cfg)
         if n_stages == 3:
-            return jnp.sum(ref.x) + jnp.sum(ref.valid)
-        idx, val = C.stream_compact(ref.valid, kcap)
-        kx = jnp.take(ref.x, idx)
-        ky = jnp.take(ref.y, idx)
-        klyr = jnp.take(ref.layer, idx)
-        ksize = jnp.take(ref.size, idx)
-        koct = jnp.take(roct, idx)
+            return jnp.sum(st.c) + jnp.sum(st.ok)
+        idx, val = C.stream_compact(st.ok, kcap)
+        stc = jax.tree.map(lambda a: jnp.take(a, idx), st)
+        ref, koct = finalize_walk(rflat, stc, val, cfg)
+        kx, ky, klyr, ksize = ref.x, ref.y, ref.layer, ref.size
         if n_stages == 4:
             return jnp.sum(kx) + jnp.sum(ksize)
         slab = stack_pyramid(gauss, extra_rows=window_rows(rmax), copies=4,

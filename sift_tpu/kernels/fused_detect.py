@@ -239,7 +239,13 @@ def detect_records_pallas(gp: jnp.ndarray, h: int, w: int,
             pltpu.VMEM((2, nl, rows, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        # Scoped VMEM scales with the padded width (double-buffered
+        # scratch + output blocks + stencil temporaries are all
+        # [*, Wp]); the 16 MiB default trips at Wp >= 1920 while the
+        # chip has 128 MiB.  48 MiB covers 4K-wide frames.
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            vmem_limit_bytes=48 * 1024 * 1024),
         interpret=interpret,
     )(gp)
     return out

@@ -187,13 +187,35 @@ def candidates_from_records(rec: OctaveRecords, cap: int):
             lyr.astype(jnp.int32), valid)
 
 
-def walk_records_all(recs: List[OctaveRecords], cands, cfg: SiftConfig
-                     ) -> Tuple[RefinedKeypoints, jnp.ndarray]:
+class WalkState(NamedTuple):
+    """Per-candidate outcome of the positions-only Newton walk.
+
+    Everything the global compaction needs (``ok``) plus everything the
+    post-compaction finalize needs to build keypoints for the SURVIVORS
+    only: the B/C planes (sub-pixel offsets + response) are deliberately
+    NOT gathered here — at candidate capacity K that final gather cost
+    3K scattered HBM loads (~0.5 ms at 1920x1200), while after
+    compaction it costs 2*kcap.  The accept bits (edge, contrast) ride
+    the A value the walk already gathered at the convergence step, so
+    ``ok`` is exact without touching B/C."""
+
+    l: jnp.ndarray       # [K] i32 final DoG layer
+    r: jnp.ndarray       # [K] i32 final row (octave coords)
+    c: jnp.ndarray       # [K] i32 final col
+    ok: jnp.ndarray      # [K] bool: converged & edge_ok & contrast_ok
+    octv: jnp.ndarray    # [K] i32 octave index
+    fi: jnp.ndarray      # [K] i32 flat A-plane index of the final position
+    hqwp: jnp.ndarray    # [K] i32 plane stride of the candidate's octave
+
+
+def walk_records_positions(recs: List[OctaveRecords], cands,
+                           cfg: SiftConfig
+                           ) -> Tuple[WalkState, jnp.ndarray]:
     """ALL octaves' candidates in ONE Newton walk over the concatenated
     packed record fields.  Each of the 5 steps gathers ONE element per
-    candidate (the A plane); B/C are gathered once at the final
-    position.  cands: per-octave (cx, cy, clayer, cvalid).  Returns
-    (RefinedKeypoints concatenated octave-major, octave [K])."""
+    candidate (the A plane).  cands: per-octave (cx, cy, clayer,
+    cvalid).  Returns (WalkState, flat record array) — feed survivors
+    to ``finalize_walk``."""
     d = recs[0].values.shape[0] + 2          # DoG layer count
     border = SIFT_IMG_BORDER
     flats, bases, hs, ws, hqs, wps = [], [], [], [], [], []
@@ -227,11 +249,19 @@ def walk_records_all(recs: List[OctaveRecords], cands, cfg: SiftConfig
     l = clayer.astype(jnp.int32)
     alive = cvalid
     converged = jnp.zeros_like(alive)
+    edge = jnp.zeros_like(alive)
+    cok = jnp.zeros_like(alive)
 
     for _ in range(int(SIFT_MAX_INTERP_STEPS)):
         active = alive & ~converged
         a = jnp.take(flat, pos_idx(l, r, c))
         conv_now, diverged, (sx, sy, sl) = decode_steps(a)
+        # A converged candidate's position never changes again, so the
+        # A value at the convergence step IS the final-position A:
+        # capture its accept bits here and the finalize never re-reads A.
+        first = active & conv_now
+        edge = jnp.where(first, _bit(a, 2), edge)
+        cok = jnp.where(first, _bit(a, 4), cok)
         step = active & ~conv_now & ~diverged
         nl = l - sl
         nr = r - sy
@@ -245,25 +275,47 @@ def walk_records_all(recs: List[OctaveRecords], cands, cfg: SiftConfig
         alive = alive & ~(active & (diverged | (step & oob)))
         converged = converged | (active & conv_now)
 
-    ok = alive & converged
-    fi = pos_idx(l, r, c)
-    fin = jnp.take(flat, fi[:, None]
-                   + jnp.arange(3, dtype=jnp.int32)[None, :]
-                   * hqwp[:, None])
-    edge, cok, x0, x1, x2, resp = decode_final(
-        fin[:, 0], fin[:, 1], fin[:, 2])
-    ok = ok & cok & edge
+    ok = alive & converged & edge & cok
+    return WalkState(l=l, r=r, c=c, ok=ok, octv=octv,
+                     fi=pos_idx(l, r, c), hqwp=hqwp), flat
 
-    scale = jnp.exp2(octv.astype(jnp.float32))
+
+def finalize_walk(flat: jnp.ndarray, st: WalkState, valid: jnp.ndarray,
+                  cfg: SiftConfig
+                  ) -> Tuple[RefinedKeypoints, jnp.ndarray]:
+    """Keypoints from walk survivors.  ``st``: WalkState rows already
+    gathered down to the surviving set (e.g. jax.tree.map(take, state));
+    ``valid``: the compaction's validity mask for those rows.  Gathers
+    B/C (2 elements per survivor) and builds coordinates/size/response.
+    Returns (RefinedKeypoints, octave [K'])."""
+    safe = jnp.where(valid, st.fi, 0)
+    b = jnp.take(flat, safe + st.hqwp)
+    cc = jnp.take(flat, safe + 2 * st.hqwp)
+    x0 = jnp.mod(b, 2048.0) * (1.0 / _XSCALE) - 0.5
+    x1 = jnp.floor(b * (1.0 / 2048.0)) * (1.0 / _XSCALE) - 0.5
+    x2 = jnp.mod(cc, 1024.0) * (1.0 / _SSCALE) - 0.5
+    resp = jnp.floor(cc * (1.0 / 1024.0)) * (1.0 / _CSCALE)
+
+    scale = jnp.exp2(st.octv.astype(jnp.float32))
     if cfg.subpixel:
-        fx = (c.astype(jnp.float32) - x0) * scale
-        fy = (r.astype(jnp.float32) - x1) * scale
+        fx = (st.c.astype(jnp.float32) - x0) * scale
+        fy = (st.r.astype(jnp.float32) - x1) * scale
     else:
-        fx = c.astype(jnp.float32) * scale
-        fy = r.astype(jnp.float32) * scale
+        fx = st.c.astype(jnp.float32) * scale
+        fy = st.r.astype(jnp.float32) * scale
     xi = -x2
-    size = (cfg.sigma * jnp.power(2.0, (l.astype(jnp.float32) + xi)
+    size = (cfg.sigma * jnp.power(2.0, (st.l.astype(jnp.float32) + xi)
                                   / cfg.num_octave_layers) * scale * 2.0)
-    ref = RefinedKeypoints(x=fx, y=fy, layer=l, xi=xi, size=size,
-                           response=resp, valid=ok)
-    return ref, octv
+    ref = RefinedKeypoints(x=fx, y=fy, layer=st.l, xi=xi, size=size,
+                           response=resp, valid=valid & st.ok)
+    return ref, st.octv
+
+
+def walk_records_all(recs: List[OctaveRecords], cands, cfg: SiftConfig
+                     ) -> Tuple[RefinedKeypoints, jnp.ndarray]:
+    """Un-compacted walk (parity/replay entry): positions walk +
+    finalize over ALL candidates.  The pipeline instead compacts
+    between the two stages (detector.py) so B/C are only gathered for
+    survivors."""
+    st, flat = walk_records_positions(recs, cands, cfg)
+    return finalize_walk(flat, st, st.ok, cfg)

@@ -61,7 +61,8 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
                                           padded_content_views)
         from sift_tpu.ops.records import (candidates_from_records,
                                           detect_records_padded,
-                                          walk_records_all)
+                                          finalize_walk,
+                                          walk_records_positions)
         impl = resolve_gather_impl(cfg.gather_impl)
         # Padded-layout pyramid (content rows at [8, 8+h)): the zero
         # padding is baked into the band-blocked blur operators, so the
@@ -82,21 +83,17 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         cands = [candidates_from_records(recs[o],
                                          plan.octaves[o].cand_cap)
                  for o in range(cfg.num_octaves)]
-        ref, roct = walk_records_all(recs, cands, cfg)
-        rx, ry, rlyr, rxi, rsize, rresp, rval = (
-            ref.x, ref.y, ref.layer, ref.xi, ref.size, ref.response,
-            ref.valid)
+        st, rflat = walk_records_positions(recs, cands, cfg)
 
         # Global compaction: ONE fixed-capacity keypoint set across all
         # octaves (≙ collectKpts per octave + the cross-octave gather).
-        idx, val = C.stream_compact(rval, kcap)
-        kx = jnp.take(rx, idx)
-        ky = jnp.take(ry, idx)
-        klyr = jnp.take(rlyr, idx)
-        kxi = jnp.take(rxi, idx)
-        ksize = jnp.take(rsize, idx)
-        kresp = jnp.take(rresp, idx)
-        koct = jnp.take(roct, idx)
+        # The walk's B/C planes (sub-pixel offsets, response) are only
+        # gathered AFTER compaction — kcap rows, not candidate capacity.
+        idx, val = C.stream_compact(st.ok, kcap)
+        stc = jax.tree.map(lambda a: jnp.take(a, idx), st)
+        ref, koct = finalize_walk(rflat, stc, val, cfg)
+        kx, ky, klyr, kxi = ref.x, ref.y, ref.layer, ref.xi
+        ksize, kresp = ref.size, ref.response
 
         # Dense gradients once per frame on the padded uniform stack
         # (window gathers need uniform octave shapes); lane-shifted copies
