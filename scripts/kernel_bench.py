@@ -85,7 +85,12 @@ def main():
     plan = build_plan(cfg)
     img = jax.device_put(jnp.asarray(bench_image(h, w), jnp.float32))
     state = jax.jit(functools.partial(pipeline_state, plan))(img)
-    state = jax.tree.map(lambda a: a, state)
+    # jit traces the StackedPyramid's static int fields into arrays;
+    # restore them (copies=4, layers=D, copy_rows=Hs/copies).
+    slab = state["slab"]
+    state["slab"] = slab._replace(
+        layers=cfg.num_gauss_layers, copies=4,
+        copy_rows=slab.values.shape[0] // 4)
     print(f"{w}x{h}: {int(state['n_kp'])} kpts, "
           f"{int(state['n_desc'])} descriptors", flush=True)
 

@@ -326,7 +326,8 @@ def _pad_args(ys0, xs0, par, k, kp):
 
 
 def _pad_par_lanes(par):
-    """Lane-pad par [K, NPAR] -> [K, LANES] (see _p11)."""
+    """Lane-pad par [K, NPAR] -> [K, LANES] so _seg_table can load whole
+    [pack, LANES] rows for its one-hot MXU contraction."""
     return jnp.pad(par, ((0, 0), (0, LANES - par.shape[1])))
 
 
@@ -386,7 +387,10 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
     histograms (rows past ``count`` garbage)."""
     if not block_k:
         # Sublane-dim block sizes must be multiples of 8 AND of pack.
-        block_k = 24 if pack == 3 else 8
+        # Larger blocks amortize the per-block scalar path + DMA issue
+        # (v5e sweep at 1600x900, scripts/kernel_bench.py: 48 beats 24
+        # by 11%; 96 regresses — VMEM pressure stalls the ring).
+        block_k = 48 if pack == 3 else 16
     assert block_k % pack == 0 and block_k % 8 == 0
     k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
@@ -524,9 +528,9 @@ def _desc_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg, rows,
     cols = []
     for r in range(_D):
         for c in range(_D):
-            t = hr[r] * hc[c]
+            hrc = hr[r] * hc[c]
             for o in range(_NBD):
-                cols.append(jnp.sum(t * vo[o], axis=0, keepdims=True))
+                cols.append(jnp.sum(hrc * vo[o], axis=0, keepdims=True))
     m = jnp.concatenate(cols, axis=0)           # [128, LANES]
     if pack == 1:
         out_ref[pl.ds(jg[0], 1), :] = jnp.sum(m, axis=1)[None]
@@ -539,7 +543,7 @@ def _desc_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg, rows,
 @functools.partial(jax.jit,
                    static_argnames=("rows", "block_k", "pack", "interpret"))
 def descriptor_fused(values, ys0, xs0, par, rows: int,
-                     block_k: int = 8, pack: int = 1,
+                     block_k: int = 16, pack: int = 1,
                      interpret: bool = False, count=None):
     """values/origins/par as orientation_hist_fused (par additionally
     carries cos_t, sin_t, ang).  ``count``: live keypoint count — see

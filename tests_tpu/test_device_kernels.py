@@ -1,0 +1,66 @@
+"""Silicon parity gates for the fused Pallas kernels (round-3 advisor
+finding: the device-only mechanisms — whole-slot shared-semaphore DMA
+waits, the dynamic-trip fori_loop ring, _seg_table's unaligned sublane
+slice — were validated only in interpret mode + manual benchmarks, so a
+Mosaic-lowering regression was invisible to pytest).
+
+Strategy: run the production fused pipeline (gather_impl="pallas",
+REAL Mosaic lowering) and the flat XLA pipeline on the device over a
+textured frame, and require the same keypoint/descriptor parity that
+tests/test_fused.py proves for interpret mode.  The flat path is
+OpenCV-gated by tests/test_pipeline.py, so this transitively gives the
+silicon kernels OpenCV parity."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from sift_tpu.config import SiftConfig
+from sift_tpu.core.types import build_plan
+from sift_tpu.pipeline.detector import build_detect_fn
+
+
+def test_fused_pipeline_matches_flat_on_device():
+    from sift_tpu.perf.benchimg import bench_image
+
+    mk = lambda gi: SiftConfig(width=320, height=240, num_features=1024,
+                               gather_impl=gi)
+    flat = build_detect_fn(build_plan(mk("xla")))
+    fused = build_detect_fn(build_plan(mk("pallas")))
+    img = jnp.asarray(bench_image(240, 320), jnp.float32)
+    rf = flat(img)
+    rp = fused(img)
+    assert int(rf.count) == int(rp.count) > 50
+    n = int(rf.count)
+    np.testing.assert_allclose(np.asarray(rf.keypoints.x[:n]),
+                               np.asarray(rp.keypoints.x[:n]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rf.keypoints.y[:n]),
+                               np.asarray(rp.keypoints.y[:n]), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rf.keypoints.angle[:n]),
+                               np.asarray(rp.keypoints.angle[:n]),
+                               atol=0.05)
+    # Interpret mode is bit-stable at +-1 (tests/test_fused.py); on
+    # silicon the Mosaic reduction order differs from XLA's, which can
+    # push isolated elements to +-2 quantized units (measured: 6 of
+    # 33408 at 320x240 — 0.018%).  The reference's own tolerance is
+    # +-1 unit in HALF space (HostInterface.cu:369-376), far coarser
+    # at descriptor magnitudes than +-2 of 512 here.
+    dd = np.abs(np.asarray(rf.descriptors[:n], np.int32)
+                - np.asarray(rp.descriptors[:n], np.int32))
+    assert dd.max() <= 2
+    assert (dd > 1).mean() <= 1e-3
+
+
+def test_detect_records_kernel_on_device():
+    """detect_records_pallas (fused DoG/extrema/Newton-record kernel) ==
+    records_jnp, bit-for-bit on interior pixels, on silicon."""
+    from sift_tpu.ops.records import detect_records, records_jnp
+
+    rng = np.random.default_rng(7)
+    cfg = SiftConfig(width=256, height=128)
+    oct_ = jnp.asarray(rng.normal(100, 40, (6, 128, 256)), jnp.float32)
+    rk = detect_records(oct_, cfg, "pallas")
+    rj = records_jnp(oct_, cfg)
+    a = np.asarray(rk.values)[:, :, 1:127, 1:255]
+    b = np.asarray(rj.values)[:, :, 1:127, 1:255]
+    np.testing.assert_array_equal(a[:, 0], b[:, 0])     # A: flags+steps
+    np.testing.assert_allclose(a[:, 1:], b[:, 1:], atol=1.0)
