@@ -157,6 +157,95 @@ def solve_schur(jtj_c, g_c, jtj_p, g_p, a_j, lm_lambda,
     return d_cam, d_pt
 
 
+def solve_schur_cg(p: BAProblem, lm_lambda, cg_iters: int = 25,
+                   fix_first_cam: bool = True, reduce=None):
+    """LM step via preconditioned CG on the Schur complement, WITHOUT
+    forming the [P, C, 6, 3] coupling blocks or the dense [6C, 6C]
+    reduced system — the scalable path for C in the thousands (the dense
+    solve_schur replicates a (6C)^2 matrix on every device).
+
+    Every S-matvec is computed in observation space:
+        S x = (Jc^T Jc + lam I) x - A V^-1 A^T x
+        (A^T x)_j = sum_{o: pt=j} W_o^T x_{cam(o)},   W_o = Jc_o^T Jp_o
+        (A y)_c   = sum_{o: cam=c} W_o y_{pt(o)}
+    i.e. two segment-sums over the observation table — exactly the axis
+    the distributed solver shards, so ``reduce`` (psum over the mesh in
+    parallel/dba.py, identity single-device) makes the matvec exact.
+    Preconditioner: block-Jacobi with the exact 6x6 diagonal blocks of S
+    (exact when each (camera, point) pair is observed at most once).
+    Memory: O(O + P + C) vs O(P C) + O(C^2) for the dense path.
+
+    Returns (d_cam [C, 6], d_pt [P, 3]) like solve_schur."""
+    red = reduce if reduce is not None else (lambda x: x)
+    nc = p.rotations.shape[0]
+    npts = p.points.shape[0]
+    res, j_c, j_p = _residuals_and_jacobians(p)
+
+    seg = jax.ops.segment_sum
+    jtj_c = red(seg(jnp.einsum("oki,okj->oij", j_c, j_c), p.cam_idx, nc))
+    g_c = red(seg(jnp.einsum("oki,ok->oi", j_c, res), p.cam_idx, nc))
+    jtj_p = red(seg(jnp.einsum("oki,okj->oij", j_p, j_p), p.pt_idx, npts))
+    g_p = red(seg(jnp.einsum("oki,ok->oi", j_p, res), p.pt_idx, npts))
+
+    u = jtj_c + lm_lambda * jnp.eye(6)[None]                    # [C, 6, 6]
+    vinv = jnp.linalg.inv(jtj_p + lm_lambda * jnp.eye(3)[None])  # [P, 3, 3]
+    w_o = jnp.einsum("oki,okj->oij", j_c, j_p)                   # [O, 6, 3]
+
+    def a_t(x):                       # A^T x: [C, 6] -> [P, 3]
+        t = jnp.einsum("oij,oi->oj", w_o, x[p.cam_idx])
+        return red(seg(t, p.pt_idx, npts))
+
+    def a_(y):                        # A y: [P, 3] -> [C, 6]
+        t = jnp.einsum("oij,oj->oi", w_o, y[p.pt_idx])
+        return red(seg(t, p.cam_idx, nc))
+
+    if fix_first_cam:
+        gmask = jnp.concatenate([jnp.zeros((1, 6)),
+                                 jnp.ones((nc - 1, 6))])
+    else:
+        gmask = jnp.ones((nc, 6))
+
+    def matvec(x):
+        x = x * gmask
+        y = jnp.einsum("pij,pj->pi", vinv, a_t(x))
+        return (jnp.einsum("cij,cj->ci", u, x) - a_(y)) * gmask
+
+    # Exact block-diagonal of S (one obs per (cam, pt) pair):
+    # S_cc = U_c - sum_{o: cam=c} W_o V_{pt(o)}^-1 W_o^T.
+    wvw = jnp.einsum("oij,ojk,olk->oil", w_o, vinv[p.pt_idx], w_o)
+    m_c = u - red(seg(wvw, p.cam_idx, nc))                       # [C, 6, 6]
+    if fix_first_cam:
+        m_c = m_c.at[0].set(jnp.eye(6))
+    minv = jnp.linalg.inv(m_c)
+    prec = lambda r: jnp.einsum("cij,cj->ci", minv, r)
+
+    rhs = (g_c - a_(jnp.einsum("pij,pj->pi", vinv, g_p))) * gmask
+
+    def dot(a, b):
+        return jnp.sum(a * b)
+
+    def body(_, carry):
+        x, r, d, rz = carry
+        q = matvec(d)
+        dq = dot(d, q)
+        alpha = jnp.where(dq > 0, rz / jnp.maximum(dq, 1e-30), 0.0)
+        x = x + alpha * d
+        r = r - alpha * q
+        z = prec(r)
+        rz_new = dot(r, z)
+        beta = jnp.where(rz > 0, rz_new / jnp.maximum(rz, 1e-30), 0.0)
+        return x, r, z + beta * d, rz_new
+
+    x0 = jnp.zeros((nc, 6))
+    z0 = prec(rhs)
+    x, _, _, _ = jax.lax.fori_loop(
+        0, cg_iters, body, (x0, rhs, z0, dot(rhs, z0)))
+
+    d_cam = -x
+    d_pt = -jnp.einsum("pij,pj->pi", vinv, g_p + a_t(d_cam))
+    return d_cam, d_pt
+
+
 def lm_step(p: BAProblem, lm_lambda, fix_first_cam: bool = True):
     """One damped Gauss-Newton (LM) step with Schur elimination of points.
     Returns (d_twist [C,6], d_points [P,3])."""

@@ -162,6 +162,31 @@ def load_golden(path: str):
     return params, inputs, expected
 
 
+def save_ba_state(path: str, state, iteration: int) -> None:
+    """Checkpoint a (replicated) BAState mid-LM for elastic recovery of
+    the distributed layer: atomic write (tmp + rename) so a worker dying
+    mid-save never leaves a torn checkpoint."""
+    import jax
+
+    arrs = {k: np.asarray(jax.device_get(v))
+            for k, v in state._asdict().items()}
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, iteration=np.int64(iteration), **arrs)
+    os.replace(tmp, path)
+
+
+def load_ba_state(path: str):
+    """Returns (BAState of host arrays, iteration) — None if no
+    checkpoint exists (fresh start)."""
+    from sift_tpu.geometry.ba import BAState
+
+    if not os.path.exists(path):
+        return None, 0
+    d = dict(np.load(path, allow_pickle=False))
+    it = int(d.pop("iteration"))
+    return BAState(**{k: d[k] for k in BAState._fields}), it
+
+
 def config_from_params(params) -> SiftConfig:
     def val(k):
         v = params[k]

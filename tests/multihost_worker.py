@@ -14,8 +14,11 @@ import numpy as np
 
 
 def det_frames(b, h, w):
-    rng = np.random.default_rng(7)
-    return np.clip(rng.normal(128, 40, (b, h, w)), 0, 255).astype(np.float32)
+    # Textured frames (count-gated kernels make noise an almost-empty
+    # workload — perf/benchimg.py), distinct seed per keyframe.
+    from sift_tpu.perf.benchimg import bench_image
+    return np.stack([bench_image(h, w, seed=i)
+                     for i in range(b)]).astype(np.float32)
 
 
 def main():
@@ -46,14 +49,13 @@ def main():
     from sift_tpu.parallel.dba import make_distributed_lm
 
     # --- keyframe-sharded detect + sequential match over the global mesh
-    cfg = SiftConfig(width=64, height=64, num_features=128,
-                     max_candidates_per_octave=256)
+    cfg = SiftConfig(width=752, height=480, num_features=512)
     plan = build_plan(cfg)
     mesh = global_mesh()
     fn, _ = make_sharded_pipeline(plan, mesh)
 
     b_local = 4
-    frames = det_frames(b_local * nproc, 64, 64)
+    frames = det_frames(b_local * nproc, cfg.height, cfg.width)
     local = frames[pid * b_local:(pid + 1) * b_local]
     garr = shard_from_local(mesh, local)
     # AOT-compile, then BARRIER before executing: compile durations vary

@@ -5,7 +5,8 @@ import jax.numpy as jnp
 import pytest
 
 from sift_tpu.geometry import se3
-from sift_tpu.geometry.ba import BAProblem, lm_optimize, _mean_cost
+from sift_tpu.geometry.ba import (BAProblem, lm_optimize, lm_step,
+                                  _mean_cost)
 
 
 def synthetic_ba(seed=0, n_cams=6, n_pts=120, noise_px=0.0,
@@ -103,3 +104,28 @@ def test_ba_fixed_first_camera():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.translations[0]), trs_gt[0],
                                atol=1e-6)
+
+
+def test_cg_schur_matches_dense_f64():
+    """solve_schur_cg is the SAME operator as the dense Schur solve: in
+    f64 (where the U - A V^-1 A^T cancellation is benign) the two steps
+    agree to ~1e-10.  In f32 both are conditioning-limited and LM's
+    accept/reject absorbs the difference (gated separately by the
+    convergence tests)."""
+    from sift_tpu.geometry.ba import solve_schur_cg
+
+    prob, *_ = synthetic_ba(seed=0, n_cams=5, n_pts=96)
+    jax.config.update("jax_enable_x64", True)
+    try:
+        p64 = jax.tree.map(
+            lambda a: jnp.asarray(a, jnp.float64)
+            if jnp.issubdtype(a.dtype, jnp.floating) else a, prob)
+        lam = jnp.asarray(1e-4, jnp.float64)
+        dc_d, dp_d = lm_step(p64, lam)
+        dc_c, dp_c = solve_schur_cg(p64, lam, cg_iters=40)
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    np.testing.assert_allclose(np.asarray(dc_c), np.asarray(dc_d),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(dp_c), np.asarray(dp_d),
+                               atol=1e-7)
