@@ -34,10 +34,14 @@ def measure(n_devices: int, cfg, frames_per_device: int,
     mesh = make_mesh(n_devices)
     fn, shard = make_sharded_pipeline(plan, mesh)
 
+    from sift_tpu.perf.benchimg import bench_image
+
+    # Textured frames (distinct seeds), NOT white noise: the per-keypoint
+    # kernels are count-gated, so a noise frame (near-zero keypoints) would
+    # benchmark an almost-empty workload (see perf/benchimg.py).
     b = frames_per_device * n_devices
-    rng = np.random.default_rng(0)
-    frames = np.clip(rng.normal(128, 40, (b, cfg.height, cfg.width)),
-                     0, 255).astype(np.float32)
+    frames = np.stack([bench_image(cfg.height, cfg.width, seed=i)
+                       for i in range(b)]).astype(np.float32)
     garr = shard(frames)
     res, matches = fn(garr)            # compile + warm
     jax.block_until_ready((res, matches))

@@ -36,6 +36,30 @@ def synthetic_image(height=240, width=320, seed=0, n_blobs=40):
     return np.clip(img, 0, 255)
 
 
+def textured_image(height=240, width=320, seed=1, tilt=0.12):
+    """Perspective-projected value-noise plane: smooth gradients
+    EVERYWHERE (photo-like keypoint statistics), unlike the disc scene's
+    step edges.  The reference was developed against real photographs
+    (tool/extract_and_match_example.cc:14-34); this is the equivalent
+    correctness workload for the parity gates."""
+    import cv2
+
+    from sift_tpu.perf.benchimg import bench_image
+
+    base = bench_image(int(height * 1.5), int(width * 1.5), seed=seed)
+    h, w = base.shape
+    src = np.float32([[0, 0], [w, 0], [w, h], [0, h]])
+    rng = np.random.default_rng(seed + 100)
+    dst = (np.float32([[0, 0], [width, 0], [width, height], [0, height]])
+           + (rng.uniform(-tilt, tilt, (4, 2))
+              * (width, height)).astype(np.float32))
+    m = cv2.getPerspectiveTransform(src, dst)
+    out = cv2.warpPerspective(base, m, (width, height),
+                              flags=cv2.INTER_LINEAR,
+                              borderMode=cv2.BORDER_REFLECT_101)
+    return np.clip(out, 0, 255)
+
+
 @pytest.fixture(scope="session")
 def test_image():
     return synthetic_image()

@@ -13,10 +13,37 @@ W, H = 320, 240
 FX = 0.9 * W
 
 
-def render_sequence(n_frames=8, seed=5, n_pts=160, step=1.0):
+def _paint_backdrop(r, t, seed, z, ex, ey, _tex_cache={}):
+    """Render a value-noise textured world plane (z = +z, extent +-ex/+-ey)
+    seen from camera (r, t) — real 3D geometry with gradients EVERYWHERE,
+    vs the flat-shaded discs.  Reflect-sampled texture outside the extent
+    still lies ON the plane, so all backdrop features move rigidly with
+    the ground-truth homography."""
+    import cv2
+
+    from sift_tpu.perf.benchimg import bench_image
+
+    tex = _tex_cache.get(seed)
+    if tex is None:
+        tex = _tex_cache[seed] = bench_image(640, 848, seed=seed)
+    th, tw = tex.shape
+    corners = np.array([[-ex, -ey, z], [ex, -ey, z],
+                        [ex, ey, z], [-ex, ey, z]], np.float64)
+    pc = corners @ r.T + t
+    uv = np.stack([pc[:, 0] / pc[:, 2] * FX + W / 2,
+                   pc[:, 1] / pc[:, 2] * FX + H / 2], 1).astype(np.float32)
+    src = np.float32([[0, 0], [tw, 0], [tw, th], [0, th]])
+    m = cv2.getPerspectiveTransform(src, uv)
+    return cv2.warpPerspective(tex, m, (W, H), flags=cv2.INTER_LINEAR,
+                               borderMode=cv2.BORDER_REFLECT_101)
+
+
+def render_sequence(n_frames=8, seed=5, n_pts=160, step=1.0,
+                    textured=False):
     """Textured 3D blob cloud viewed from a smooth lateral+forward
     trajectory with slight yaw.  Returns (frames, gt_positions,
-    gt_poses): positions [N, 3] and cam-to-world 4x4 pose mats."""
+    gt_poses): positions [N, 3] and cam-to-world 4x4 pose mats.
+    ``textured``: value-noise backdrop plane at z=30 behind the cloud."""
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -31,7 +58,8 @@ def render_sequence(n_frames=8, seed=5, n_pts=160, step=1.0):
         r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
         center = np.array([-0.22, 0.03, 0.12]) * step * i
         t = -r @ center
-        img = np.zeros((H, W), np.float32)
+        img = (_paint_backdrop(r, t, seed, z=30.0, ex=22.0, ey=16.0)
+               if textured else np.zeros((H, W), np.float32)).copy()
         pc = pts @ r.T + t
         order = np.argsort(-pc[:, 2])
         for j in order:
@@ -80,6 +108,17 @@ def test_odometry_ate(sequence):
     assert ate < 0.15, f"ATE {ate}"
 
 
+def test_odometry_ate_textured():
+    """Same ATE gate on the textured-backdrop scene (gradients everywhere
+    — the photo-like regime; round-3 worklist: ATE was only ever gated on
+    flat-shaded discs)."""
+    frames, gt, _ = render_sequence(textured=True)
+    odo = _run_odometry(frames)
+    assert min(odo.result.n_inliers[1:]) >= 12
+    ate = ate_rmse(odo.result.positions(), gt, with_scale=True)
+    assert ate < 0.15, f"textured ATE {ate}"
+
+
 def test_odometry_with_window_ba(sequence):
     frames, gt, _ = sequence
     odo = _run_odometry(frames, ba_interval=3, ba_window=4)
@@ -98,10 +137,47 @@ def test_odometry_poses_consistent(sequence):
     assert np.linalg.norm(pos[2] - pos[1]) > 1e-3
 
 
-def render_corridor(n_frames=60, seed=5, n_pts=900):
+def _paint_corridor_walls(img, r, t, center_z, seed,
+                          z_far=80.0, x_half=8.0, y_half=5.0,
+                          _tex_cache={}):
+    """Composite two value-noise textured SIDE walls (world planes
+    x = +-x_half) over ``img``.  World-anchored texture (u ~ wall z,
+    v ~ wall y), so wall features move with full ground-truth parallax —
+    the realistic corridor regime, unlike a distant fronto-parallel
+    backdrop whose features constrain translation poorly."""
+    import cv2
+
+    from sift_tpu.perf.benchimg import bench_image
+
+    tex = _tex_cache.get(seed)
+    if tex is None:
+        tex = _tex_cache[seed] = bench_image(512, 2048, seed=seed + 1)
+    th, tw = tex.shape
+    z0 = center_z + 1.5
+    u0 = z0 / z_far * tw
+    for x_w in (-x_half, x_half):
+        quad = np.array([[x_w, -y_half, z0], [x_w, -y_half, z_far],
+                         [x_w, y_half, z_far], [x_w, y_half, z0]])
+        pc = quad @ r.T + t
+        uv = np.stack([pc[:, 0] / pc[:, 2] * FX + W / 2,
+                       pc[:, 1] / pc[:, 2] * FX + H / 2],
+                      1).astype(np.float32)
+        src = np.float32([[u0, 0], [tw, 0], [tw, th], [u0, th]])
+        m = cv2.getPerspectiveTransform(src, uv)
+        w = cv2.warpPerspective(tex, m, (W, H), flags=cv2.INTER_LINEAR,
+                                borderMode=cv2.BORDER_CONSTANT,
+                                borderValue=-1.0)
+        np.copyto(img, w, where=w >= 0)
+    return img
+
+
+def render_corridor(n_frames=60, seed=5, n_pts=900, textured=True):
     """Forward flythrough of a long textured corridor (points keep
     entering the view, so arbitrary sequence lengths stay trackable).
-    Returns (frames, gt_positions, gt_poses cam-to-world)."""
+    Textured by default: a value-noise end wall (z=70) plus two
+    world-anchored textured side walls put gradients with real parallax
+    everywhere, so the TUM ATE gate runs on a photo-like scene, not just
+    disc edges.  Returns (frames, gt_positions, gt_poses cam-to-world)."""
     import cv2
 
     rng = np.random.default_rng(seed)
@@ -115,7 +191,12 @@ def render_corridor(n_frames=60, seed=5, n_pts=900):
         r = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
         center = np.array([0.5 * np.sin(0.1 * i), 0.02 * i, 0.45 * i])
         t = -r @ center
-        img = np.zeros((H, W), np.float32)
+        if textured:
+            img = _paint_backdrop(r, t, seed, z=70.0, ex=42.0,
+                                  ey=32.0).copy()
+            _paint_corridor_walls(img, r, t, center[2], seed)
+        else:
+            img = np.zeros((H, W), np.float32)
         pc = pts @ r.T + t
         order = np.argsort(-pc[:, 2])
         for j in order:

@@ -8,19 +8,31 @@ from sift_tpu.config import SiftConfig
 from sift_tpu.pipeline.detector import SiftDetector
 
 
+@pytest.fixture(scope="module", params=["discs", "textured"])
+def scene_image(request):
+    """Parity gates run on BOTH scene families: the disc scene (step
+    edges, strong isolated extrema) and the perspective-warped value-noise
+    plane (gradients everywhere — photo-like, the reference's real-world
+    regime)."""
+    from tests.conftest import synthetic_image, textured_image
+    if request.param == "discs":
+        return synthetic_image()
+    return textured_image()
+
+
 @pytest.fixture(scope="module")
-def detector(test_image):
-    h, w = test_image.shape
+def detector(scene_image):
+    h, w = scene_image.shape
     cfg = SiftConfig(width=w, height=h, num_features=2000, upscale=True)
     return SiftDetector(cfg)
 
 
 @pytest.fixture(scope="module")
-def results(detector, test_image):
+def results(detector, scene_image):
     # Both sides see the identical uint8-quantized frame (cv2.SIFT converts
     # to 8-bit internally; feeding our detector the unquantized float image
     # would compare different inputs, not different implementations).
-    img8 = test_image.astype(np.uint8)
+    img8 = scene_image.astype(np.uint8)
     res = detector.detect_and_compute(img8.astype(np.float32))
     sift = cv2.SIFT_create(contrastThreshold=0.04, edgeThreshold=10,
                            sigma=1.6)
@@ -118,10 +130,10 @@ def test_no_upscale_mode(test_image):
     assert not np.asarray(kp.valid)[n:].any()
 
 
-def test_prev_descriptor_rotation(detector, test_image):
+def test_prev_descriptor_rotation(detector, scene_image):
     """prev_descriptor carries frame t-1 (Detector.cu:136-141)."""
-    r1 = detector.detect_and_compute(test_image)
-    r2 = detector.detect_and_compute(test_image[::-1].copy())
+    r1 = detector.detect_and_compute(scene_image)
+    r2 = detector.detect_and_compute(scene_image[::-1].copy())
     assert detector.prev_descriptors is not None
     np.testing.assert_array_equal(np.asarray(detector.prev_descriptors),
                                   np.asarray(r1.descriptors))
