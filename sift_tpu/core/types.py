@@ -137,6 +137,15 @@ class SiftPlan:
     # at [8, 8 + h), lanes [0, w), total rows/cols from the block grids.
     tiled_v: Tuple[tuple, ...] = ()
     tiled_h: Tuple[tuple, ...] = ()
+    # Band-blocked init blur ((vblocks, voffs), (hblocks, hoffs)) and
+    # per-octave carry operators (None for octave 0).  The dense init /
+    # carry matmuls are O(n^2 w) — ~18 GFLOP at 1920x1200 and the
+    # largest non-tiled pyramid cost at round 4; banded they are
+    # O(n * band * w).  (Carry bands have slope 2 — output row r reads
+    # input ~2r — which banded_blocks_multi's per-tile nonzero scan
+    # handles naturally.)
+    init_tiled: tuple = ()
+    carry_tiled: Tuple[Any, ...] = ()
 
 
 def _octave_dims(cfg: SiftConfig) -> List[Tuple[int, int]]:
@@ -180,6 +189,7 @@ def build_plan(cfg: SiftConfig) -> SiftPlan:
     octaves = []
     blur_v, blur_h, down_v, down_h = [], [], [], []
     carry_v, carry_h = [], []
+    carry64 = [None]   # per-octave f64 (cv, ch) for band-blocking; o=0 none
     acc64_v, acc64_h = [], []  # float64 composed blur chains for carry fold
     for o, (h, w) in enumerate(dims):
         cand = _candidate_capacity(cfg, h, w, cfg.num_dog_layers - 2)
@@ -220,10 +230,11 @@ def build_plan(cfg: SiftConfig) -> SiftPlan:
             # folding resize and blur-to-layer-L into one operator per side
             # (≙ the resize at interface/Detector.cu:282-291).
             L = cfg.num_octave_layers
-            carry_v.append((dv.astype(np.float64)
-                            @ acc64_v[o - 1][L]).astype(np.float32))
-            carry_h.append((dh.astype(np.float64)
-                            @ acc64_h[o - 1][L]).astype(np.float32))
+            cv64 = dv.astype(np.float64) @ acc64_v[o - 1][L]
+            ch64 = dh.astype(np.float64) @ acc64_h[o - 1][L]
+            carry_v.append(cv64.astype(np.float32))
+            carry_h.append(ch64.astype(np.float32))
+            carry64.append((cv64, ch64))
         else:
             down_v.append(np.eye(h, dtype=np.float32))
             down_h.append(np.eye(w, dtype=np.float32))
@@ -249,13 +260,26 @@ def build_plan(cfg: SiftConfig) -> SiftPlan:
     # Row grid must cover the fused detect kernel's tile layout
     # (kernels/fused_detect.py: ceil(h/32)*32 + 16 rows, content at
     # row 8); 128-row/col tiles feed the MXU.
+    from sift_tpu.kernels.fused_detect import HALO as _DH, \
+        TILE_ROWS as _DT
     tiled_v, tiled_h = [], []
     for o, (h, w) in enumerate(dims):
-        need = 32 * (-(-h // 32)) + 16
+        need = _DT * (-(-h // _DT)) + 2 * _DH
         hv = 128 * (-(-need // 128))
         wp = 128 * (-(-max(w, 128) // 128))
         tiled_v.append(g.banded_blocks_multi(acc64_v[o], 128, 8, hv))
         tiled_h.append(g.banded_blocks_multi(acc64_h[o], 128, 0, wp))
+
+    def _band_pair(v64, h64):
+        rows = 128 * (-(-v64.shape[0] // 128))
+        cols = 128 * (-(-h64.shape[0] // 128))
+        return (g.banded_blocks_multi([v64], 128, 0, rows),
+                g.banded_blocks_multi([h64], 128, 0, cols))
+
+    init_tiled = _band_pair(g.blur_operator(bh, init_k, np.float64),
+                            g.blur_operator(bw, init_k, np.float64))
+    carry_tiled = tuple(None if c is None else _band_pair(*c)
+                        for c in carry64)
 
     return SiftPlan(config=cfg, octaves=tuple(octaves),
                     blur_v=tuple(blur_v), blur_h=tuple(blur_h),
@@ -264,4 +288,5 @@ def build_plan(cfg: SiftConfig) -> SiftPlan:
                     carry_v=tuple(carry_v), carry_h=tuple(carry_h),
                     kernels_1d=kernels_1d,
                     init_kernel_1d=init_k.astype(np.float32),
-                    tiled_v=tuple(tiled_v), tiled_h=tuple(tiled_h))
+                    tiled_v=tuple(tiled_v), tiled_h=tuple(tiled_h),
+                    init_tiled=init_tiled, carry_tiled=carry_tiled)

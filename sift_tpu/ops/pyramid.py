@@ -47,13 +47,20 @@ def gaussian_pyramid_padded(plan: SiftPlan,
                                    (0, wp - b.shape[2]))))
         return out
 
-    base = blur_matmul(_init_base(plan, image), jnp.asarray(plan.init_v),
-                       jnp.asarray(plan.init_h))
+    def tiled1(src, pair, h, w):
+        # One banded operator pair applied via the tiled path, result
+        # cut back to natural shape (the grid pads rows/cols to 128).
+        (vb, vo), (hb, ho) = pair
+        out = blur_tiled(src, jnp.asarray(vb), vo, jnp.asarray(hb), ho)
+        return out[0, :h, :w]
+
+    h0, w0 = plan.octaves[0].height, plan.octaves[0].width
+    base = tiled1(_init_base(plan, image), plan.init_tiled, h0, w0)
     octaves = []
     for o in range(cfg.num_octaves):
         if o > 0:
-            base = blur_matmul(base, jnp.asarray(plan.carry_v[o]),
-                               jnp.asarray(plan.carry_h[o]))
+            op = plan.octaves[o]
+            base = tiled1(base, plan.carry_tiled[o], op.height, op.width)
         vb, vo = plan.tiled_v[o]
         hb, ho = plan.tiled_h[o]
         octaves.append(blur_tiled(base, jnp.asarray(vb), vo,
