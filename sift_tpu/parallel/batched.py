@@ -29,9 +29,17 @@ from sift_tpu.pipeline.matcher import match_brute_force
 
 
 def batched_detect_fn(plan: SiftPlan, quant_mode: str = "opencv"):
-    """[B, H, W] -> SiftResult with leading batch axis on every leaf."""
+    """[B, H, W] -> SiftResult with leading batch axis on every leaf.
+
+    lax.map, NOT vmap: the fused Pallas kernels (dynamic-trip scalar
+    prefetch, ANY-memory-space operands) do not support the vmap
+    batching rule, and measured vmapped pallas/compaction paths degrade
+    anyway (doc/performance.md "formulations that did NOT help").  One
+    scan over frames inside ONE program keeps every kernel on its
+    single-frame fast path while still amortizing dispatch; under a
+    sharded batch axis each device runs its local frames' iterations."""
     single = build_detect_fn(plan, quant_mode)
-    return jax.vmap(single)
+    return lambda frames: jax.lax.map(single, frames)
 
 
 def sequential_match(descriptors: jnp.ndarray, valid: jnp.ndarray,
@@ -54,11 +62,23 @@ def make_sharded_pipeline(plan: SiftPlan, mesh: Mesh,
                           quant_mode: str = "opencv"):
     """Returns (fn, shard) where fn: frames [B, H, W] -> (SiftResult,
     matches [B, N]) jitted with the batch axis sharded over ``mesh[axis]``,
-    and shard(x) places a host array with that sharding."""
-    detect = batched_detect_fn(plan, quant_mode)
+    and shard(x) places a host array with that sharding.
+
+    Detection runs under shard_map: each device lax.map's the
+    single-frame pipeline over its LOCAL frames (devices parallel,
+    frames sequential per device — a scan over a globally sharded axis
+    would serialize through cross-device slices instead).  The
+    sequential match stays at the jit level, where the batch-axis roll
+    lowers to an ICI collective."""
+    single = build_detect_fn(plan, quant_mode)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=P(axis, None, None), out_specs=P(axis))
+    def detect_local(frames):
+        return jax.lax.map(single, frames)
 
     def step(frames):
-        res = detect(frames)
+        res = detect_local(frames)
         matches = sequential_match(res.descriptors, res.keypoints.valid,
                                    plan.config.match_ratio)
         return res, matches
