@@ -72,8 +72,13 @@ def make_sharded_pipeline(plan: SiftPlan, mesh: Mesh,
     lowers to an ICI collective."""
     single = build_detect_fn(plan, quant_mode)
 
+    # check_vma=False: pallas_call's out_shape (ShapeDtypeStruct) carries
+    # no varying-mesh-axes annotation, which the shard_map VMA checker
+    # rejects; the body is purely per-shard (no collectives), so the
+    # check adds nothing here.
     @functools.partial(jax.shard_map, mesh=mesh,
-                       in_specs=P(axis, None, None), out_specs=P(axis))
+                       in_specs=P(axis, None, None), out_specs=P(axis),
+                       check_vma=False)
     def detect_local(frames):
         return jax.lax.map(single, frames)
 
