@@ -113,7 +113,8 @@ class StackedPyramid(NamedTuple):
 
 def stack_pyramid(blocks: List[jnp.ndarray], extra_rows: int = 0,
                   copies: int = 1, layer_lo: int = 0,
-                  layer_hi: int = 0) -> StackedPyramid:
+                  layer_hi: int = 0,
+                  expand_impl: str = "xla") -> StackedPyramid:
     """blocks: per-octave [D, H_o, W_o], octave 0 largest.  ``extra_rows``:
     bottom margin >= the largest window row count, so clamped window
     origins inside the LAST plane stay in-bounds (reads past a plane's
@@ -122,7 +123,10 @@ def stack_pyramid(blocks: List[jnp.ndarray], extra_rows: int = 0,
     planes [layer_lo, layer_hi) per octave (keypoints only ever reference
     Gaussian layers 1..L, ops/refine_dense.py oob test); out-of-range
     layer indices in row_off are clamped (invalid keypoints may carry
-    them — reads are masked, but must stay in-bounds)."""
+    them — reads are masked, but must stay in-bounds).  ``expand_impl``:
+    "pallas"/"pallas_interpret" routes the lane-shifted copy expansion
+    through kernels/expand.py (bit-identical; XLA's concat-of-pad-slices
+    measures 1.57 ms at 1920x1200 vs ~0.4 for the kernel)."""
     d, h0, w0 = blocks[0].shape
     layer_hi = layer_hi or d
     nl = layer_hi - layer_lo
@@ -142,12 +146,23 @@ def stack_pyramid(blocks: List[jnp.ndarray], extra_rows: int = 0,
         row += nl * ha
         hs.append(h)
         wws.append(w)
-    if extra_rows:
-        pad = -(-extra_rows // 8) * 8
+    pallas_expand = copies > 1 and expand_impl in ("pallas",
+                                                   "pallas_interpret")
+    pad = -(-extra_rows // 8) * 8 if extra_rows else 0
+    if pallas_expand:
+        # Round the slab rows to the expand kernel's tile grid (the
+        # extra rows are part of the zero bottom margin).
+        from sift_tpu.kernels.expand import EXPAND_TILE
+        pad += (-(row + pad)) % EXPAND_TILE
+    if pad:
         slabs.append(jnp.zeros((pad, ws), blocks[0].dtype))
         row += pad
     base = jnp.concatenate(slabs, axis=0)
-    if copies > 1:
+    if pallas_expand:
+        from sift_tpu.kernels.expand import expand_lane_copies
+        vals = expand_lane_copies(
+            base, copies, interpret=(expand_impl == "pallas_interpret"))
+    elif copies > 1:
         step = 128 // copies
         vals = jnp.concatenate(
             [base] + [jnp.pad(base[:, step * c:], ((0, 0), (0, step * c)))

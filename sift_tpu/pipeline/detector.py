@@ -127,10 +127,12 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
             nl = cfg.num_octave_layers
             margin = window_rows(rmax)
             slab_g = stack_pyramid(gauss, extra_rows=margin,
-                                   copies=4, layer_lo=1, layer_hi=nl + 1)
+                                   copies=4, layer_lo=1, layer_hi=nl + 1,
+                                   expand_impl=impl)
             ori_slab = slab_g if cfg.orientation_source == "gaussian" \
                 else stack_pyramid(dogs, extra_rows=margin,
-                                   copies=4, layer_lo=1, layer_hi=nl + 1)
+                                   copies=4, layer_lo=1, layer_hi=nl + 1,
+                                   expand_impl=impl)
             # Live counts let the kernels skip whole blocks past the
             # frame's actual keypoint count (compactions are valid-first).
             n_kp = jnp.sum(val.astype(jnp.int32))
