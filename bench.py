@@ -134,8 +134,43 @@ def main():
     def set_fallback(ms):
         _state["fallback"] = ms
 
-    ms = measure_ms(step, img, k_small=2, k_large=12,
-                    on_first_estimate=set_fallback)
+    ms = None
+    for attempt in range(2):
+        try:
+            ms = measure_ms(step, img, k_small=2, k_large=12,
+                            on_first_estimate=set_fallback)
+            break
+        except Exception as exc:  # noqa: BLE001 — transport can die mid-run
+            # Observed round-4 failure: JaxRuntimeError from the remote
+            # compile tunnel ("response body closed").  The watchdog only
+            # covers hangs; exceptions must degrade, not crash (rc=1 left
+            # round 4 with no official number).  Re-probe the device and
+            # retry once; on final failure fall through to the stale emit.
+            print(f"# bench attempt {attempt} failed: {exc!r}",
+                  file=sys.stderr, flush=True)
+            if attempt == 0:
+                _wait_for_device(time.monotonic() + 60)
+    if ms is None:
+        fb = _state["fallback"]
+        if fb is not None:
+            _state["done"] = True
+            _emit(fb)
+            return
+        # Nothing measured at all: emit last recorded value, flagged stale.
+        _state["done"] = True
+        try:
+            with open(os.path.join(os.path.dirname(os.path.abspath(
+                    __file__)), "BENCH_LAST.json")) as f:
+                rec = json.load(f)
+            rec["stale"] = True
+            rec["note"] = "measurement failed; last recorded value"
+            print(json.dumps(rec), flush=True)
+        except (OSError, ValueError):
+            print(json.dumps({
+                "metric": "detect_compute_752x480", "value": None,
+                "unit": "ms", "vs_baseline": None,
+                "error": "measurement failed"}), flush=True)
+        return
     _state["done"] = True
     _emit(ms)
     try:
