@@ -114,16 +114,15 @@ def _grad_mag_ori(win):
 NBUF = 4
 
 
-def _start_block(ys_ref, xs_ref, src_ref, wins, sems, slot, block,
+def _start_block(ys_ref, xs_ref, src_ref, wins, sems, slot, base,
                  block_k, rows):
-    """Issue ``block``'s block_k window DMAs into ring slot ``slot``.
-    All of a slot's copies share ONE semaphore (sems[slot]) so the
-    consumer can wait for the whole slot in a single scalar op.  No
-    per-copy bounds branch: the caller only starts blocks below the live
-    block count, and padded tail entries carry clamped origins (a valid
-    slab window; their compute output is garbage past the live count,
-    which the downstream validity mask discards)."""
-    base = block * block_k
+    """Issue the block at keypoint offset ``base``'s block_k window DMAs
+    into ring slot ``slot``.  All of a slot's copies share ONE semaphore
+    (sems[slot]) so the consumer can wait for the whole slot in a single
+    scalar op.  No per-copy bounds branch: the caller only starts blocks
+    below the live block count, and padded tail entries carry clamped
+    origins (a valid slab window; their compute output is garbage past
+    the live count, which the downstream validity mask discards)."""
     for j in range(block_k):
         ys = pl.multiple_of(ys_ref[base + j], SUBLANE)
         xs = pl.multiple_of(xs_ref[base + j], LANES)
@@ -226,19 +225,22 @@ def _ori_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
                 out_ref, wins, sems, *,
                 rows: int, block_k: int, n_kpts: int, pack: int):
     """Dynamic-trip driver: ONE grid step, fori_loop over only the LIVE
-    blocks (ceil(count / block_k)).  Unused capacity costs nothing — no
-    skipped grid steps, no per-block par/out pipeline copies (par is a
-    VMEM-resident table read via [1,1] vector loads; out is a full-VMEM
-    buffer written at dynamic offsets).  NBUF-slot DMA ring keeps
-    NBUF - 1 blocks' window copies in flight behind the one being
-    computed."""
+    blocks (ceil(count / block_k)) starting at keypoint offset
+    cnt_ref[1] (classed invocations share one partitioned array set —
+    see ops/descriptor.compute_descriptors_fused).  Unused capacity
+    costs nothing — no skipped grid steps, no per-block par/out pipeline
+    copies (par is a VMEM-resident table read via [1,1] vector loads;
+    out is a full-VMEM buffer written at dynamic offsets).  NBUF-slot
+    DMA ring keeps NBUF - 1 blocks' window copies in flight behind the
+    one being computed."""
     nblocks = (cnt_ref[0] + block_k - 1) // block_k
+    start = cnt_ref[1]
 
     for b in range(NBUF - 1):
         @pl.when(b < nblocks)
         def _(b=b):
-            _start_block(ys_ref, xs_ref, src_ref, wins, sems, b, b,
-                         block_k, rows)
+            _start_block(ys_ref, xs_ref, src_ref, wins, sems, b,
+                         start + b * block_k, block_k, rows)
 
     seg = LANES // pack
     masks = _seg_masks(pack, seg)
@@ -250,11 +252,12 @@ def _ori_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
         @pl.when(i + NBUF - 1 < nblocks)
         def _():
             _start_block(ys_ref, xs_ref, src_ref, wins, sems,
-                         jax.lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1,
+                         jax.lax.rem(i + NBUF - 1, NBUF),
+                         start + (i + NBUF - 1) * block_k,
                          block_k, rows)
 
         _wait_slot(wins, sems, slot)
-        base = i * block_k
+        base = start + i * block_k
         for g in range(block_k // pack):
             jl = [g * pack + s for s in range(pack)]
             jg = [base + j for j in jl]
@@ -331,14 +334,16 @@ def _pad_par_lanes(par):
     return jnp.pad(par, ((0, 0), (0, LANES - par.shape[1])))
 
 
-def _roll_shifts(par, pack):
+def _roll_shifts(par, pack, start=0):
     """Per-keypoint combined lane-roll shift for _packed_window,
     precomputed host-side and prefetched to SMEM (int32): shift =
     (LANES - dma_offset + segment_index * seg) % LANES, where a
-    keypoint's segment index is its position within its pack group."""
+    keypoint's segment index is its position within its pack group.
+    ``start``: keypoint offset of the kernel's first block (classed
+    invocations) — group slots count from there."""
     kp = par.shape[0]
     seg = LANES // pack
-    s = jnp.arange(kp, dtype=jnp.int32) % pack
+    s = jnp.mod(jnp.arange(kp, dtype=jnp.int32) - start, pack)
     off = par[:, 12].astype(jnp.int32)
     return (LANES - off + s * seg) % LANES
 
@@ -399,8 +404,10 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
     if kp != k:
         ys0, xs0, par = _pad_args(ys0, xs0, par, k, kp)
     sh = _roll_shifts(par, pack)
-    cnt = jnp.full((1,), kp, jnp.int32) if count is None \
-        else jnp.minimum(count, kp).astype(jnp.int32).reshape(1)
+    cnt = jnp.stack([
+        jnp.asarray(kp, jnp.int32) if count is None
+        else jnp.minimum(count, kp).astype(jnp.int32),
+        jnp.zeros((), jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -437,12 +444,13 @@ def _desc_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
                  rows: int, block_k: int, n_kpts: int, pack: int):
     """Dynamic-trip driver — see _ori_kernel."""
     nblocks = (cnt_ref[0] + block_k - 1) // block_k
+    start = cnt_ref[1]
 
     for b in range(NBUF - 1):
         @pl.when(b < nblocks)
         def _(b=b):
-            _start_block(ys_ref, xs_ref, src_ref, wins, sems, b, b,
-                         block_k, rows)
+            _start_block(ys_ref, xs_ref, src_ref, wins, sems, b,
+                         start + b * block_k, block_k, rows)
 
     seg = LANES // pack
     masks = _seg_masks(pack, seg)
@@ -454,11 +462,12 @@ def _desc_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
         @pl.when(i + NBUF - 1 < nblocks)
         def _():
             _start_block(ys_ref, xs_ref, src_ref, wins, sems,
-                         jax.lax.rem(i + NBUF - 1, NBUF), i + NBUF - 1,
+                         jax.lax.rem(i + NBUF - 1, NBUF),
+                         start + (i + NBUF - 1) * block_k,
                          block_k, rows)
 
         _wait_slot(wins, sems, slot)
-        base = i * block_k
+        base = start + i * block_k
         for g in range(block_k // pack):
             jl = [g * pack + s for s in range(pack)]
             jg = [base + j for j in jl]
@@ -544,24 +553,35 @@ def _desc_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg, rows,
                    static_argnames=("rows", "block_k", "pack", "interpret"))
 def descriptor_fused(values, ys0, xs0, par, rows: int,
                      block_k: int = 16, pack: int = 1,
-                     interpret: bool = False, count=None):
+                     interpret: bool = False, count=None, start=None):
     """values/origins/par as orientation_hist_fused (par additionally
     carries cos_t, sin_t, ang).  ``count``: live keypoint count — see
     orientation_hist_fused.  ``pack``: keypoints per 128-lane compute
     window (pack=2 requires patch radius <= 30: 2*(r+1)+1 <= 64-lane
-    segments).  Returns [K, 128] f32 raw descriptor histograms
-    (pre-normalization, cell-major r, c, o — finalize_descriptor order;
-    rows past ``count`` garbage)."""
+    segments).  ``start``: traced keypoint offset of the first live
+    block — radius-classed invocations share ONE partitioned array set
+    and each processes rows [start, start+count) (the caller guarantees
+    start+count <= K and that every row is DMA-safe — clamped origins,
+    valid flag 0 on dead rows).  Returns [K, 128] f32 raw descriptor
+    histograms (pre-normalization, cell-major r, c, o — finalize_
+    descriptor order; rows outside [start, start+count) garbage)."""
     assert block_k % pack == 0 and block_k % 8 == 0
     k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
+    if start is not None:
+        # The last live block may run past start+count by block_k-1
+        # rows; one extra block of padding keeps every read in-bounds.
+        kp += block_k
     ys0, xs0 = _clamp_origins(ys0, xs0, values, rows)
     par = _pad_par_lanes(par)
     if kp != k:
         ys0, xs0, par = _pad_args(ys0, xs0, par, k, kp)
-    sh = _roll_shifts(par, pack)
-    cnt = jnp.full((1,), kp, jnp.int32) if count is None \
-        else jnp.minimum(count, kp).astype(jnp.int32).reshape(1)
+    sh = _roll_shifts(par, pack, 0 if start is None else start)
+    cnt = jnp.stack([
+        jnp.asarray(kp, jnp.int32) if count is None
+        else jnp.minimum(count, kp).astype(jnp.int32),
+        jnp.zeros((), jnp.int32) if start is None
+        else jnp.asarray(start, jnp.int32)])
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,

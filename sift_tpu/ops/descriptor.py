@@ -173,7 +173,6 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
     from sift_tpu.kernels.fused_stages import (DESC_PACK_RADIUS, NPAR,
                                                descriptor_fused)
     from sift_tpu.kernels.window_gather import window_rows
-    from sift_tpu.ops.compact import stream_compact
     from sift_tpu.ops.flatpyr import stacked_origins
 
     inv = jnp.exp2(-octave.astype(jnp.float32))
@@ -219,36 +218,57 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
     par = par.at[:, 11].set(ang)
     par = par.at[:, 12].set(off.astype(jnp.float32))
 
-    # Radius-class split + 2-way lane packing: patches of radius <=
+    # Radius-class partition + lane packing: patches of radius <=
     # DESC_PACK_RADIUS (2*(r+1)+1 <= a 64-lane segment; ~65% of
     # default-config keypoints) pack TWO per compute window at a
     # smaller static row count, sharing every vector op; the rest run
-    # unpacked at full rows.  Both kernels are count-gated, so total
-    # work is n_small/2 * rows_small + n_big * rows_big — exact, no
-    # capacity risk (each class gets the full capacity).
+    # unpacked at full rows.  The partition is ONE cumsum+scatter
+    # permutation (not per-class stream_compacts — those cost ~0.3 ms
+    # of XLA work per frame at cap 5000): every class call reads the
+    # SAME partitioned array set, count-gated over its contiguous
+    # [start, start+count) row range via the kernel's start offset.
     rs = DESC_PACK_RADIUS
     if rmax <= rs:
         hist = descriptor_fused(slab.values, ys0, xs0, par, rows,
                                 pack=2, interpret=interpret, count=count)
         return finalize_descriptor(hist)
 
-    small = valid & (radius <= float(rs))
-    big = valid & (radius > float(rs))
+    classes = [(rs, 2), (rmax, 1)]          # (radius bound, pack)
+    bk = 16
+    kp = k + bk                              # + sink/overrun block
+    ci = jnp.zeros((k,), jnp.int32)
+    for b, _ in classes[:-1]:
+        ci = ci + (radius > float(b)).astype(jnp.int32)
 
-    def class_call(mask, pack, rows_c):
-        idx, val = stream_compact(mask, k)
-        p = jnp.take(par, idx, axis=0)
-        p = p.at[:, 8].set(val.astype(jnp.float32))
+    dest = jnp.full((k,), kp - 1, jnp.int32)  # invalid -> sink row
+    start = jnp.zeros((), jnp.int32)
+    starts, counts = [], []
+    for c in range(len(classes)):
+        mc = valid & (ci == c)
+        cs = jnp.cumsum(mc.astype(jnp.int32))
+        dest = jnp.where(mc, start + cs - 1, dest)
+        starts.append(start)
+        counts.append(cs[-1])
+        start = start + cs[-1]
+
+    # Scattered (partitioned) array set.  Unwritten rows are zeros:
+    # clamped origin 0 is DMA-safe and par row 0 carries valid=0.
+    ysp = jnp.zeros((kp,), ys0.dtype).at[dest].set(ys0)
+    xsp = jnp.zeros((kp,), xs0.dtype).at[dest].set(xs0)
+    parp = jnp.zeros((kp, par.shape[1]), par.dtype).at[dest].set(par)
+
+    gathered = []
+    for c, (b, pack_c) in enumerate(classes):
         h = descriptor_fused(
-            slab.values, jnp.take(ys0, idx), jnp.take(xs0, idx), p,
-            rows_c, pack=pack, interpret=interpret,
-            count=jnp.sum(mask.astype(jnp.int32)))
-        return h, jnp.where(val, idx, k)   # invalid rows -> sink row k
+            slab.values, ysp, xsp, parp, window_rows(min(b, rmax)),
+            block_k=bk, pack=pack_c, interpret=interpret,
+            count=counts[c], start=starts[c])
+        gathered.append(jnp.take(h, dest, axis=0))
 
-    hs, tgt_s = class_call(small, 2, window_rows(rs))
-    hb, tgt_b = class_call(big, 1, rows)
-    hist = jnp.zeros((k + 1, hs.shape[1]), hs.dtype)
-    hist = hist.at[tgt_s].set(hs).at[tgt_b].set(hb)[:k]
+    hist = gathered[-1]
+    for c in range(len(classes) - 2, -1, -1):
+        hist = jnp.where((ci == c)[:, None], gathered[c], hist)
+    hist = jnp.where(valid[:, None], hist, 0.0)
     return finalize_descriptor(hist)
 
 
