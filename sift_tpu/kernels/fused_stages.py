@@ -108,9 +108,11 @@ def _grad_mag_ori(win):
     return mag, ori
 
 
-# DMA ring depth: blocks in flight.  The dynamic-trip kernels (below)
-# run a fori_loop over ceil(live_count / block_k) blocks only; NBUF - 1
-# blocks' window DMAs stay outstanding while one block computes.
+# Default DMA ring depth: blocks in flight.  The dynamic-trip kernels
+# (below) run a fori_loop over ceil(live_count / block_k) blocks only;
+# nbuf - 1 blocks' window DMAs stay outstanding while one block computes.
+# Per-call override via the wrappers' ``nbuf`` argument (v5e sweep at
+# 752x480: orientation wants 8, descriptor 4).
 NBUF = 4
 
 
@@ -223,7 +225,8 @@ def _packed_window(wins, slot, jl, jg, sh_ref, vld, seg, masks):
 
 def _ori_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
                 out_ref, wins, sems, *,
-                rows: int, block_k: int, n_kpts: int, pack: int):
+                rows: int, block_k: int, n_kpts: int, pack: int,
+                nbuf: int):
     """Dynamic-trip driver: ONE grid step, fori_loop over only the LIVE
     blocks (ceil(count / block_k)) starting at keypoint offset
     cnt_ref[1] (classed invocations share one partitioned array set —
@@ -236,7 +239,7 @@ def _ori_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
     nblocks = (cnt_ref[0] + block_k - 1) // block_k
     start = cnt_ref[1]
 
-    for b in range(NBUF - 1):
+    for b in range(nbuf - 1):
         @pl.when(b < nblocks)
         def _(b=b):
             _start_block(ys_ref, xs_ref, src_ref, wins, sems, b,
@@ -247,13 +250,13 @@ def _ori_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
     segsel = _segsel(pack, seg)
 
     def body(i, carry):
-        slot = jax.lax.rem(i, NBUF)
+        slot = jax.lax.rem(i, nbuf)
 
-        @pl.when(i + NBUF - 1 < nblocks)
+        @pl.when(i + nbuf - 1 < nblocks)
         def _():
             _start_block(ys_ref, xs_ref, src_ref, wins, sems,
-                         jax.lax.rem(i + NBUF - 1, NBUF),
-                         start + (i + NBUF - 1) * block_k,
+                         jax.lax.rem(i + nbuf - 1, nbuf),
+                         start + (i + nbuf - 1) * block_k,
                          block_k, rows)
 
         _wait_slot(wins, sems, slot)
@@ -377,10 +380,12 @@ def pack_factor(rmax: int) -> int:
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("rows", "block_k", "pack", "interpret"))
+                   static_argnames=("rows", "block_k", "pack", "interpret",
+                                    "nbuf"))
 def orientation_hist_fused(values, ys0, xs0, par, rows: int,
                            block_k: int = 0, pack: int = 1,
-                           interpret: bool = False, count=None):
+                           interpret: bool = False, count=None,
+                           nbuf: int = 0):
     """values: [Hs, Ws] f32 row-stacked RAW Gaussian (or DoG) slab
     (ops/flatpyr.stack_pyramid, extra_rows >= rows); ys0/xs0: [K] i32
     aligned absolute window origins (stacked_origins); par: [K, NPAR] f32
@@ -396,6 +401,7 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
         # (v5e sweep at 1600x900, scripts/kernel_bench.py: 48 beats 24
         # by 11%; 96 regresses — VMEM pressure stalls the ring).
         block_k = 48 if pack == 3 else 16
+    nbuf = nbuf or 8
     assert block_k % pack == 0 and block_k % 8 == 0
     k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
@@ -419,13 +425,14 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, block_k, rows, DMA_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((nbuf, block_k, rows, DMA_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_ori_kernel, rows=rows, block_k=block_k,
-                          n_kpts=kp, pack=pack),
+                          n_kpts=kp, pack=pack,
+                          nbuf=nbuf),
         out_shape=jax.ShapeDtypeStruct((kp, _NBO), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
@@ -441,12 +448,13 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
 
 def _desc_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
                  out_ref, wins, sems, *,
-                 rows: int, block_k: int, n_kpts: int, pack: int):
+                 rows: int, block_k: int, n_kpts: int, pack: int,
+                 nbuf: int):
     """Dynamic-trip driver — see _ori_kernel."""
     nblocks = (cnt_ref[0] + block_k - 1) // block_k
     start = cnt_ref[1]
 
-    for b in range(NBUF - 1):
+    for b in range(nbuf - 1):
         @pl.when(b < nblocks)
         def _(b=b):
             _start_block(ys_ref, xs_ref, src_ref, wins, sems, b,
@@ -457,13 +465,13 @@ def _desc_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
     segsel = _segsel(pack, seg)
 
     def body(i, carry):
-        slot = jax.lax.rem(i, NBUF)
+        slot = jax.lax.rem(i, nbuf)
 
-        @pl.when(i + NBUF - 1 < nblocks)
+        @pl.when(i + nbuf - 1 < nblocks)
         def _():
             _start_block(ys_ref, xs_ref, src_ref, wins, sems,
-                         jax.lax.rem(i + NBUF - 1, NBUF),
-                         start + (i + NBUF - 1) * block_k,
+                         jax.lax.rem(i + nbuf - 1, nbuf),
+                         start + (i + nbuf - 1) * block_k,
                          block_k, rows)
 
         _wait_slot(wins, sems, slot)
@@ -550,10 +558,12 @@ def _desc_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg, rows,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("rows", "block_k", "pack", "interpret"))
+                   static_argnames=("rows", "block_k", "pack", "interpret",
+                                    "nbuf"))
 def descriptor_fused(values, ys0, xs0, par, rows: int,
                      block_k: int = 16, pack: int = 1,
-                     interpret: bool = False, count=None, start=None):
+                     interpret: bool = False, count=None, start=None,
+                     nbuf: int = 0):
     """values/origins/par as orientation_hist_fused (par additionally
     carries cos_t, sin_t, ang).  ``count``: live keypoint count — see
     orientation_hist_fused.  ``pack``: keypoints per 128-lane compute
@@ -566,6 +576,7 @@ def descriptor_fused(values, ys0, xs0, par, rows: int,
     histograms (pre-normalization, cell-major r, c, o — finalize_
     descriptor order; rows outside [start, start+count) garbage)."""
     assert block_k % pack == 0 and block_k % 8 == 0
+    nbuf = nbuf or NBUF
     k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
     if start is not None:
@@ -592,13 +603,13 @@ def descriptor_fused(values, ys0, xs0, par, rows: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NBUF, block_k, rows, DMA_LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.VMEM((nbuf, block_k, rows, DMA_LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_desc_kernel, rows=rows, block_k=block_k,
-                          n_kpts=kp, pack=pack),
+                          n_kpts=kp, pack=pack, nbuf=nbuf),
         out_shape=jax.ShapeDtypeStruct((kp, _D * _D * _NBD), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
