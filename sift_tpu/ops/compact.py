@@ -22,7 +22,7 @@ import jax.numpy as jnp
 NEG = -3.0e38
 
 
-def stream_compact(valid: jnp.ndarray, cap: int, block: int = 512):
+def stream_compact(valid: jnp.ndarray, cap: int, block: int = 0):
     """Sort-free stream compaction: indices of the first ``cap`` set bits of
     ``valid``, in index order — the exact semantics of the reference's
     prefix-sum + scatter (``collectKpts``, SiftOps.cu:210-235, capacity-capped
@@ -32,11 +32,16 @@ def stream_compact(valid: jnp.ndarray, cap: int, block: int = 512):
       1. per-block counts + small exclusive cumsum over blocks;
       2. for each output slot j, binary-search the owning block;
       3. gather that block's mask, in-block cumsum, argmax -> position.
-    Work: O(n) reduce + O(cap * block) dense ops; compiles in O(1) ops.
+    Work: O(n) reduce + O(cap * (block + n/block)) dense ops; compiles in
+    O(1) ops.  ``block`` 0 = auto: the power of two nearest sqrt(n)
+    (clamped to [128, 2048]) balances the two cap-proportional terms.
 
     Returns (indices [cap] int32, out_valid [cap] bool).
     """
+    import math
     n = valid.shape[0]
+    if not block:
+        block = min(2048, max(128, 1 << round(math.log2(max(n, 2)) / 2)))
     if n <= block:
         # Single block: in-block cumsum covers it.
         c = jnp.cumsum(valid.astype(jnp.int32))
@@ -53,17 +58,20 @@ def stream_compact(valid: jnp.ndarray, cap: int, block: int = 512):
     bc = jnp.sum(m.astype(jnp.int32), axis=1)            # [nb]
     incl = jnp.cumsum(bc)                                # inclusive offsets
     total = incl[-1]
-    excl = incl - bc
 
     j = jnp.arange(cap, dtype=jnp.int32)
     # Owning block of output slot j = #{blocks with incl <= j}: a dense
     # fused compare+reduce.  (jnp.searchsorted lowers to a per-element
     # binary-search while loop on TPU — measured ~1 ms per compaction at
     # this size, ~50x this formulation.)
-    b = jnp.sum((incl[None, :] <= j[:, None]).astype(jnp.int32),
-                axis=1)
+    le = incl[None, :] <= j[:, None]                     # [cap, nb]
+    b = jnp.sum(le.astype(jnp.int32), axis=1)
     b = jnp.clip(b, 0, nb - 1)
-    rank = j - jnp.take(excl, b)                         # rank within block
+    # excl[b] == sum of bc over blocks i < b == sum of bc where
+    # incl[i] <= j (incl nondecreasing) — reuses the compare matrix
+    # instead of a [cap] scalar gather (1-D gathers are ~36 us per
+    # 5000 elements on TPU; this masked reduce is ~free).
+    rank = j - jnp.sum(jnp.where(le, bc[None, :], 0), axis=1)
     rows = jnp.take(m, b, axis=0)                        # [cap, block]
     rc = jnp.cumsum(rows.astype(jnp.int32), axis=1)
     hit = (rc == rank[:, None] + 1) & rows.astype(bool)

@@ -203,20 +203,16 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
     pxf = px.astype(jnp.float32)
 
     k = x.shape[0]
-    par = jnp.zeros((k, NPAR), jnp.float32)
-    par = par.at[:, 0].set(dy0.astype(jnp.float32))
-    par = par.at[:, 1].set(dx0.astype(jnp.float32))
-    par = par.at[:, 2].set(1.0 - pyf)
-    par = par.at[:, 3].set(hf - 2.0 - pyf)
-    par = par.at[:, 4].set(1.0 - pxf)
-    par = par.at[:, 5].set(wf - 2.0 - pxf)
-    par = par.at[:, 6].set(es)
-    par = par.at[:, 7].set(radius)
-    par = par.at[:, 8].set(valid.astype(jnp.float32))
-    par = par.at[:, 9].set(cos_t)
-    par = par.at[:, 10].set(sin_t)
-    par = par.at[:, 11].set(ang)
-    par = par.at[:, 12].set(off.astype(jnp.float32))
+    # ONE stack instead of 13 per-column scatters (each .at[:, i].set
+    # lowers to a ~6 us scatter on TPU); the two extra columns carry the
+    # DMA origins so the radius-class partition below scatters a single
+    # matrix (ys0/xs0 < 2^24 are exact in f32).
+    par = jnp.stack([
+        dy0.astype(jnp.float32), dx0.astype(jnp.float32),
+        1.0 - pyf, hf - 2.0 - pyf, 1.0 - pxf, wf - 2.0 - pxf,
+        es, radius, valid.astype(jnp.float32),
+        cos_t, sin_t, ang, off.astype(jnp.float32),
+        ys0.astype(jnp.float32), xs0.astype(jnp.float32)], axis=1)
 
     # Radius-class partition + lane packing: patches of radius <=
     # DESC_PACK_RADIUS (2*(r+1)+1 <= a 64-lane segment; ~65% of
@@ -251,11 +247,12 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
         counts.append(cs[-1])
         start = start + cs[-1]
 
-    # Scattered (partitioned) array set.  Unwritten rows are zeros:
-    # clamped origin 0 is DMA-safe and par row 0 carries valid=0.
-    ysp = jnp.zeros((kp,), ys0.dtype).at[dest].set(ys0)
-    xsp = jnp.zeros((kp,), xs0.dtype).at[dest].set(xs0)
+    # Scattered (partitioned) array set — ONE row scatter (origins ride
+    # par columns 13/14).  Unwritten rows are zeros: clamped origin 0
+    # is DMA-safe and par row 0 carries valid=0.
     parp = jnp.zeros((kp, par.shape[1]), par.dtype).at[dest].set(par)
+    ysp = parp[:, 13].astype(jnp.int32)
+    xsp = parp[:, 14].astype(jnp.int32)
 
     gathered = []
     for c, (b, pack_c) in enumerate(classes):

@@ -160,17 +160,13 @@ def orientation_histograms_fused(slab, octave, x, y, layer,
     es = -0.5 / jnp.maximum(sigma_ori * sigma_ori, 1e-12)
 
     k = x.shape[0]
-    par = jnp.zeros((k, NPAR), jnp.float32)
-    par = par.at[:, 0].set(dy0.astype(jnp.float32))
-    par = par.at[:, 1].set(dx0.astype(jnp.float32))
-    par = par.at[:, 2].set(1.0 - pyf)
-    par = par.at[:, 3].set(hf - 2.0 - pyf)
-    par = par.at[:, 4].set(1.0 - pxf)
-    par = par.at[:, 5].set(wf - 2.0 - pxf)
-    par = par.at[:, 6].set(es)
-    par = par.at[:, 7].set(radius)
-    par = par.at[:, 8].set(valid.astype(jnp.float32))
-    par = par.at[:, 12].set(off.astype(jnp.float32))
+    # ONE stack instead of 11 per-column scatters (~6 us each on TPU).
+    zero = jnp.zeros((k,), jnp.float32)
+    par = jnp.stack([
+        dy0.astype(jnp.float32), dx0.astype(jnp.float32),
+        1.0 - pyf, hf - 2.0 - pyf, 1.0 - pxf, wf - 2.0 - pxf,
+        es, radius, valid.astype(jnp.float32),
+        zero, zero, zero, off.astype(jnp.float32)], axis=1)
     return orientation_hist_fused(slab.values, ys0, xs0, par, rows,
                                   pack=pack_factor(rmax),
                                   interpret=interpret, count=count)

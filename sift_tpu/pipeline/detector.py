@@ -90,7 +90,16 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         # The walk's B/C planes (sub-pixel offsets, response) are only
         # gathered AFTER compaction — kcap rows, not candidate capacity.
         idx, val = C.stream_compact(st.ok, kcap)
-        stc = jax.tree.map(lambda a: jnp.take(a, idx), st)
+        # ONE [N, 8] row-gather instead of 7 scalar [N] gathers: 1-D
+        # gathers run element-at-a-time on TPU (~36 us per 5000-take);
+        # row gathers move whole lanes and are ~free.
+        from sift_tpu.ops.records import WalkState
+        stm = jnp.stack([st.l, st.r, st.c, st.ok.astype(jnp.int32),
+                         st.octv, st.fi, st.hqwp], axis=1)
+        stg = jnp.take(stm, idx, axis=0)
+        stc = WalkState(l=stg[:, 0], r=stg[:, 1], c=stg[:, 2],
+                        ok=stg[:, 3].astype(bool), octv=stg[:, 4],
+                        fi=stg[:, 5], hqwp=stg[:, 6])
         ref, koct = finalize_walk(rflat, stc, val, cfg)
         kx, ky, klyr, kxi = ref.x, ref.y, ref.layer, ref.xi
         ksize, kresp = ref.size, ref.response
@@ -160,13 +169,22 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         eidx, evalid = C.stream_compact(peaks.reshape(-1), kcap)
         src = eidx // nb
 
+        # Packed row-gathers (see the WalkState gather above): one f32
+        # and one i32 matrix instead of 7 scalar gathers, and the angle
+        # comes from a row-gather of [kcap, nb] + a one-hot bin select
+        # instead of a scalar gather over the flattened [kcap*nb] array.
+        fm = jnp.take(jnp.stack([kx, ky, kxi, ksize, kresp], axis=1),
+                      src, axis=0)
+        im = jnp.take(jnp.stack([klyr, koct], axis=1), src, axis=0)
+        arow = jnp.take(angles, src, axis=0)            # [kcap, nb]
+        bsel = (eidx % nb)[:, None] == jnp.arange(nb, dtype=jnp.int32)
         kps = Keypoints(
-            x=jnp.take(kx, src), y=jnp.take(ky, src),
-            layer=jnp.take(klyr, src),
-            octave=jnp.take(koct, src),
-            xi=jnp.take(kxi, src), size=jnp.take(ksize, src),
-            response=jnp.take(kresp, src),
-            angle=jnp.take(angles.reshape(-1), eidx),
+            x=fm[:, 0], y=fm[:, 1],
+            layer=im[:, 0],
+            octave=im[:, 1],
+            xi=fm[:, 2], size=fm[:, 3],
+            response=fm[:, 4],
+            angle=jnp.sum(jnp.where(bsel, arow, 0.0), axis=1),
             valid=evalid)
 
         if fused:
