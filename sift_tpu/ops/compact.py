@@ -28,55 +28,60 @@ def stream_compact(valid: jnp.ndarray, cap: int, block: int = 0):
     prefix-sum + scatter (``collectKpts``, SiftOps.cu:210-235, capacity-capped
     in index order).
 
-    TPU-native formulation with no scatter, no sort, no top_k:
-      1. per-block counts + small exclusive cumsum over blocks;
-      2. for each output slot j, binary-search the owning block;
-      3. gather that block's mask, in-block cumsum, argmax -> position.
-    Work: O(n) reduce + O(cap * (block + n/block)) dense ops; compiles in
-    O(1) ops.  ``block`` 0 = auto: the power of two nearest sqrt(n)
-    (clamped to [128, 2048]) balances the two cap-proportional terms.
+    TPU-native formulation with no scatter, no sort, no top_k, and no
+    scalar gathers (1-D gathers run element-at-a-time on TPU):
+      1. per-128-block counts, rolled up into 2048-wide superblocks;
+      2. for each output slot j, dense compare+reduce finds the owning
+         superblock, a [cap, 16] row-gather of its block counts finds
+         the block (jnp.searchsorted lowers to a per-element
+         binary-search while loop — measured ~1 ms per compaction);
+      3. one [cap, 128] row-gather of the block masks, a 128-lane
+         cumsum, equality + argmax -> position.
+    Exclusive offsets at both levels come from masked reduces over the
+    compare matrices (excl[b] == sum of counts where incl <= j for
+    nondecreasing incl), never from scalar gathers.  Work: O(n) reduce
+    + O(cap * (n/2048 + 144)) dense ops; compiles to O(1) ops.
+    ``block`` is accepted for API compatibility and ignored.
 
     Returns (indices [cap] int32, out_valid [cap] bool).
     """
-    import math
+    del block
+    BLK, SB = 128, 16                    # 128-lane blocks, 2048-superblocks
     n = valid.shape[0]
-    if not block:
-        block = min(2048, max(128, 1 << round(math.log2(max(n, 2)) / 2)))
-    if n <= block:
-        # Single block: in-block cumsum covers it.
+    j = jnp.arange(cap, dtype=jnp.int32)
+    if n <= BLK:
         c = jnp.cumsum(valid.astype(jnp.int32))
-        j = jnp.arange(cap, dtype=jnp.int32)
         hit = (c[None, :] == (j[:, None] + 1)) & valid[None, :]
         idx = jnp.argmax(hit, axis=1).astype(jnp.int32)
         return idx, j < c[-1]
 
-    pad = (-n) % block
+    pad = (-n) % (BLK * SB)
     v = jnp.concatenate([valid, jnp.zeros((pad,), valid.dtype)]) if pad \
         else valid
-    nb = v.shape[0] // block
-    m = v.reshape(nb, block)
-    bc = jnp.sum(m.astype(jnp.int32), axis=1)            # [nb]
-    incl = jnp.cumsum(bc)                                # inclusive offsets
-    total = incl[-1]
+    nb = v.shape[0] // BLK
+    nsb = nb // SB
+    m = v.reshape(nb, BLK)
+    b2 = jnp.sum(m.astype(jnp.int32), axis=1).reshape(nsb, SB)
+    sc2 = jnp.sum(b2, axis=1)                            # [nsb]
+    incl2 = jnp.cumsum(sc2)
+    total = incl2[-1]
 
-    j = jnp.arange(cap, dtype=jnp.int32)
-    # Owning block of output slot j = #{blocks with incl <= j}: a dense
-    # fused compare+reduce.  (jnp.searchsorted lowers to a per-element
-    # binary-search while loop on TPU — measured ~1 ms per compaction at
-    # this size, ~50x this formulation.)
-    le = incl[None, :] <= j[:, None]                     # [cap, nb]
-    b = jnp.sum(le.astype(jnp.int32), axis=1)
-    b = jnp.clip(b, 0, nb - 1)
-    # excl[b] == sum of bc over blocks i < b == sum of bc where
-    # incl[i] <= j (incl nondecreasing) — reuses the compare matrix
-    # instead of a [cap] scalar gather (1-D gathers are ~36 us per
-    # 5000 elements on TPU; this masked reduce is ~free).
-    rank = j - jnp.sum(jnp.where(le, bc[None, :], 0), axis=1)
-    rows = jnp.take(m, b, axis=0)                        # [cap, block]
+    le2 = incl2[None, :] <= j[:, None]                   # [cap, nsb]
+    sb = jnp.clip(jnp.sum(le2.astype(jnp.int32), axis=1), 0, nsb - 1)
+    rank_sb = j - jnp.sum(jnp.where(le2, sc2[None, :], 0), axis=1)
+
+    row16 = jnp.take(b2, sb, axis=0)                     # [cap, SB]
+    incl1 = jnp.cumsum(row16, axis=1)
+    le1 = incl1 <= rank_sb[:, None]
+    bloc = jnp.clip(jnp.sum(le1.astype(jnp.int32), axis=1), 0, SB - 1)
+    rank1 = rank_sb - jnp.sum(jnp.where(le1, row16, 0), axis=1)
+    b = sb * SB + bloc
+
+    rows = jnp.take(m, b, axis=0)                        # [cap, BLK]
     rc = jnp.cumsum(rows.astype(jnp.int32), axis=1)
-    hit = (rc == rank[:, None] + 1) & rows.astype(bool)
+    hit = (rc == rank1[:, None] + 1) & rows.astype(bool)
     within = jnp.argmax(hit, axis=1).astype(jnp.int32)
-    return b * block + within, j < total
+    return b * BLK + within, j < total
 
 
 def topk_compact(score: jnp.ndarray, valid: jnp.ndarray, cap: int,
