@@ -78,8 +78,17 @@ def stream_compact(valid: jnp.ndarray, cap: int, block: int = 0):
     b = sb * SB + bloc
 
     rows = jnp.take(m, b, axis=0)                        # [cap, BLK]
-    rc = jnp.cumsum(rows.astype(jnp.int32), axis=1)
-    hit = (rc == rank1[:, None] + 1) & rows.astype(bool)
+    # 128-lane inclusive cumsum as ONE MXU matmul against a constant
+    # lower-triangular matrix (jnp.cumsum lowers to reduce_window —
+    # measured ~0.5 ms/frame across the pipeline's compactions at
+    # 1920x1200).  Bit counts <= 128 are exact in bf16/f32 products.
+    tri = (jnp.arange(BLK)[:, None] >= jnp.arange(BLK)[None, :]) \
+        .astype(jnp.float32)                             # [BLK, BLK] lower
+    rc = jax.lax.dot_general(rows.astype(jnp.float32), tri,
+                             (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    hit = (rc == (rank1[:, None] + 1).astype(jnp.float32)) \
+        & rows.astype(bool)
     within = jnp.argmax(hit, axis=1).astype(jnp.int32)
     return b * BLK + within, j < total
 
