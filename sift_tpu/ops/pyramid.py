@@ -33,8 +33,11 @@ def gaussian_pyramid_padded(plan: SiftPlan,
     keeps the blur O(n * band * w) instead of the dense operators'
     O(n^2 w) (the round-3 large-frame pyramid bottleneck).
 
-    Octave BASES (layer-0 sources) stay in natural shape: the init and
-    carry operators are small dense matmuls."""
+    Octave BASES (layer-0 sources) also run through the band-blocked
+    tiled path (``tiled1`` over ``plan.init_tiled`` /
+    ``plan.carry_tiled``): the init and carry operators are
+    band-blocked like the per-layer blurs, with resize/decimation
+    folded into the composed carry operators."""
     cfg = plan.config
     if cfg.blur_impl == "conv":
         out = []

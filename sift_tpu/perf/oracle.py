@@ -97,11 +97,19 @@ def verify_oracle(path: str) -> Dict:
         if len(cand):
             j = cand[np.argmin(d[cand])]
             errs.append(np.abs(odesc[j] - desc[i]).max())
-    errs = np.asarray(errs) if errs else np.array([np.inf])
+    # No matched pair -> p90 is inf directly; running np.percentile on
+    # an inf sentinel interpolates inf - inf = NaN (RuntimeWarning and a
+    # latent false-positive in the gate).
+    npairs = len(errs)
+    p90 = float(np.percentile(np.asarray(errs), 90)) if errs \
+        else float("inf")
     checks["descriptor"] = {
-        "pairs": len(errs), "p90_err": float(np.percentile(errs, 90)),
-        "ok": bool(len(errs) >= min(50, max(1, n // 2))
-                   and np.percentile(errs, 90) <= 2.0)}
+        "pairs": npairs, "p90_err": p90,
+        "ok": bool(npairs >= min(50, max(1, n // 2)) and p90 <= 2.0)}
 
     checks["ok"] = all(c["ok"] for c in checks.values())
+    for name, c in checks.items():
+        if isinstance(c, dict):
+            assert not any(isinstance(v, float) and np.isnan(v)
+                           for v in c.values()), f"NaN in check {name}"
     return checks

@@ -8,15 +8,23 @@ from sift_tpu.config import SiftConfig
 from sift_tpu.pipeline.detector import SiftDetector
 
 
-@pytest.fixture(scope="module", params=["discs", "textured"])
+@pytest.fixture(scope="module", params=["discs", "textured", "photo"])
 def scene_image(request):
-    """Parity gates run on BOTH scene families: the disc scene (step
-    edges, strong isolated extrema) and the perspective-warped value-noise
-    plane (gradients everywhere — photo-like, the reference's real-world
-    regime)."""
+    """Parity gates run on THREE scene families: the disc scene (step
+    edges, strong isolated extrema), the perspective-warped value-noise
+    plane (gradients everywhere), and a REAL photograph (saturation
+    clipping, JPEG-textured gradients — the reference's real-world dev
+    regime, tool/extract_and_match_example.cc:14-34).  The photo is the
+    public-domain Grace Hopper portrait (official US Navy photograph, a
+    US-government work), committed grayscale at tests/data/."""
     from tests.conftest import synthetic_image, textured_image
     if request.param == "discs":
         return synthetic_image()
+    if request.param == "photo":
+        import os
+        p = os.path.join(os.path.dirname(__file__), "data",
+                         "real_photo.png")
+        return cv2.imread(p, cv2.IMREAD_GRAYSCALE).astype(np.float32)
     return textured_image()
 
 

@@ -64,3 +64,21 @@ def test_detect_records_kernel_on_device():
     b = np.asarray(rj.values)[:, :, 1:127, 1:255]
     np.testing.assert_array_equal(a[:, 0], b[:, 0])     # A: flags+steps
     np.testing.assert_allclose(a[:, 1:], b[:, 1:], atol=1.0)
+
+
+def test_expand_lane_copies_on_device():
+    """expand_lane_copies == the XLA concat-of-pad-slices formulation,
+    bit-for-bit under the real Mosaic lowering, both tile paths."""
+    from sift_tpu.kernels.expand import (EXPAND_TILE, LANES,
+                                         expand_lane_copies)
+
+    rng = np.random.default_rng(11)
+    for hs, ws, copies in ((EXPAND_TILE, 256, 4), (40, 256, 4),
+                           (EXPAND_TILE, 128, 2), (24, 128, 2)):
+        base = jnp.asarray(rng.normal(0, 50, (hs, ws)), jnp.float32)
+        step = LANES // copies
+        want = jnp.concatenate(
+            [jnp.pad(base[:, c * step:], ((0, 0), (0, c * step)))
+             for c in range(copies)], axis=0)
+        got = expand_lane_copies(base, copies)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
