@@ -215,7 +215,18 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
     packed record fields.  Each of the 5 steps gathers ONE element per
     candidate (the A plane).  cands: per-octave (cx, cy, clayer,
     cvalid).  Returns (WalkState, flat record array) — feed survivors
-    to ``finalize_walk``."""
+    to ``finalize_walk``.
+
+    When the summed per-octave candidate capacity exceeds
+    2 * num_features, candidates are first globally compacted to that
+    bound, so walk cost scales with the configured feature budget, not
+    the frame area (at 1920x1200 the raw capacity is ~20k and the five
+    per-step scattered gathers alone cost ~0.6 ms; the final keypoint
+    set is capped at num_features anyway, and the reference's own
+    extrema buffer is capacity-truncating too, Detector.cu:108-109).
+    Truncation drops trailing (highest-octave) candidates only on
+    frames whose RAW extrema count exceeds twice the requested feature
+    count."""
     d = recs[0].values.shape[0] + 2          # DoG layer count
     border = SIFT_IMG_BORDER
     flats, bases, hs, ws, hqs, wps = [], [], [], [], [], []
@@ -235,10 +246,31 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
         jnp.full(cc[0].shape, o, jnp.int32) for o, cc in enumerate(cands)])
     cat = lambda i: jnp.concatenate([jnp.asarray(cc[i]) for cc in cands])
     cx, cy, clayer, cvalid = cat(0), cat(1), cat(2), cat(3)
-    take = lambda t: jnp.take(jnp.asarray(t, jnp.int32), octv)
-    base, h, w = take(bases), take(hs), take(ws)
-    hqwp = take([hq * wp for hq, wp in zip(hqs, wps)])
-    wp = take(wps)
+
+    gcap = 2 * cfg.num_features
+    if octv.shape[0] > gcap:
+        # Global candidate compaction (octave-major order preserved):
+        # ONE packed row-gather, same pattern as the detector's
+        # WalkState gather.
+        gidx, gval = stream_compact(cvalid, gcap)
+        cm = jnp.stack([cx.astype(jnp.int32), cy.astype(jnp.int32),
+                        clayer.astype(jnp.int32), octv,
+                        cvalid.astype(jnp.int32)], axis=1)
+        g = jnp.take(cm, gidx, axis=0)
+        cx, cy, clayer, octv = g[:, 0], g[:, 1], g[:, 2], g[:, 3]
+        cvalid = (g[:, 4] > 0) & gval
+
+    def sel(vals):
+        """Per-candidate int from a per-octave table via one-hot
+        selects (a [9]-table jnp.take is a scalar gather on TPU)."""
+        out = jnp.zeros(octv.shape, jnp.int32)
+        for o, vv in enumerate(vals):
+            out = jnp.where(octv == o, jnp.int32(vv), out)
+        return out
+
+    base, h, w = sel(bases), sel(hs), sel(ws)
+    hqwp = sel([hq * wp for hq, wp in zip(hqs, wps)])
+    wp = sel(wps)
 
     def pos_idx(l, r, c):
         return (base + (jnp.clip(l, 1, d - 2) - 1) * 3 * hqwp

@@ -116,3 +116,38 @@ def test_plane_walk_matches_stacked_walk(test_image):
         assert (d <= tol[f] + 1e-9).all(), (f, d.max())
     np.testing.assert_allclose(np.asarray(a.size)[m],
                                np.asarray(b.size)[m], rtol=2e-4)
+
+
+def test_walk_global_candidate_cap(test_image):
+    """The pre-walk global candidate compaction (active when the summed
+    per-octave candidate capacity exceeds 2*num_features) is a pure
+    capacity change: when the frame's raw candidate count fits the
+    bound, survivors are identical to the uncapped walk."""
+    h, w = test_image.shape
+    big = SiftConfig(width=w, height=h, num_features=5000)
+    plan, gauss = _gauss(test_image, big)
+    recs = [records_jnp(gauss[o], big) for o in range(big.num_octaves)]
+    cands = [candidates_from_records(recs[o], plan.octaves[o].cand_cap)
+             for o in range(big.num_octaves)]
+    n_raw = int(sum(np.asarray(cc[3]).sum() for cc in cands))
+    total_cap = sum(cc[0].shape[0] for cc in cands)
+    # Small feature budget but still above the frame's raw candidate
+    # count: the capped walk must keep every live candidate.
+    small = SiftConfig(width=w, height=h,
+                       num_features=max(64, (n_raw + 1) // 2 + 1))
+    assert 2 * small.num_features < total_cap, "cap path not exercised"
+    assert 2 * small.num_features >= n_raw
+
+    a, aoct = walk_records_all(recs, cands, big)       # uncapped
+    b, boct = walk_records_all(recs, cands, small)     # capped walk
+    ma = np.asarray(a.valid)
+    mb = np.asarray(b.valid)
+    assert ma.sum() == mb.sum() > 30
+    # Survivor streams agree field-by-field (order is octave-major on
+    # both sides; the capped walk just dropped dead padding rows).
+    for f in ("x", "y", "layer", "xi", "size", "response"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(a, f))[ma], np.asarray(getattr(b, f))[mb],
+            err_msg=f)
+    np.testing.assert_array_equal(np.asarray(aoct)[ma],
+                                  np.asarray(boct)[mb])
