@@ -229,18 +229,34 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
     count."""
     d = recs[0].values.shape[0] + 2          # DoG layer count
     border = SIFT_IMG_BORDER
-    flats, bases, hs, ws, hqs, wps = [], [], [], [], [], []
+    bases, hs, ws, hqs, wps = [], [], [], [], []
     row = 0
     for rr in recs:
         nrec, _, hq, wp = rr.values.shape
-        flats.append(rr.values.reshape(-1))
         bases.append(row)
         hs.append(rr.h)
         ws.append(rr.w)
         hqs.append(hq)
         wps.append(wp)
-        row += rr.values.size
-    flat = jnp.concatenate(flats)
+        row += nrec * hq * wp                # per-PLANE octave stride
+    # Flattening the record field is a physical relayout copy; the walk
+    # reads only the A plane and finalize only B/C.  Splitting into
+    # per-plane flats lets the A flat die at walk end — measured -75
+    # MiB of peak temp at 1600x900 — but at 1920x1200 XLA's allocator
+    # keeps MORE live with the split (+104 MiB, barrier placement makes
+    # no difference), so the split is applied below ~2M-pixel frames
+    # only (empirical, scripts/mem_analysis.py on v5e; both variants
+    # are numerically identical).
+    split = cfg.width * cfg.height <= 1_600_000
+    if split:
+        flat_a = jnp.concatenate([rr.values[:, 0].reshape(-1)
+                                  for rr in recs])
+        flat_b = jnp.concatenate([rr.values[:, 1].reshape(-1)
+                                  for rr in recs])
+        flat_c = jnp.concatenate([rr.values[:, 2].reshape(-1)
+                                  for rr in recs])
+    else:
+        flat3 = jnp.concatenate([rr.values.reshape(-1) for rr in recs])
 
     octv = jnp.concatenate([
         jnp.full(cc[0].shape, o, jnp.int32) for o, cc in enumerate(cands)])
@@ -272,8 +288,14 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
     hqwp = sel([hq * wp for hq, wp in zip(hqs, wps)])
     wp = sel(wps)
 
+    stride = 1 if split else 3
+
     def pos_idx(l, r, c):
-        return (base + (jnp.clip(l, 1, d - 2) - 1) * 3 * hqwp
+        """PLANE-LOCAL index: addresses A/B/C in their per-plane
+        flats (split) or the A slot of the 3-plane flat (unsplit —
+        base scales by 3, B/C live at +hqwp/+2*hqwp)."""
+        return (base * stride
+                + (jnp.clip(l, 1, d - 2) - 1) * stride * hqwp
                 + jnp.clip(r, 0, h - 1) * wp + jnp.clip(c, 0, w - 1))
 
     c = cx.astype(jnp.int32)
@@ -286,7 +308,7 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
 
     for _ in range(int(SIFT_MAX_INTERP_STEPS)):
         active = alive & ~converged
-        a = jnp.take(flat, pos_idx(l, r, c))
+        a = jnp.take(flat_a if split else flat3, pos_idx(l, r, c))
         conv_now, diverged, (sx, sy, sl) = decode_steps(a)
         # A converged candidate's position never changes again, so the
         # A value at the convergence step IS the final-position A:
@@ -308,21 +330,32 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
         converged = converged | (active & conv_now)
 
     ok = alive & converged & edge & cok
+    fi = pos_idx(l, r, c)
+    if split:
+        bc = (flat_b, flat_c, None)
+    else:
+        bc = (flat3, flat3, hqwp)
     return WalkState(l=l, r=r, c=c, ok=ok, octv=octv,
-                     fi=pos_idx(l, r, c), hqwp=hqwp), flat
+                     fi=fi, hqwp=hqwp), bc
 
 
-def finalize_walk(flat: jnp.ndarray, st: WalkState, valid: jnp.ndarray,
+def finalize_walk(flat, st: WalkState, valid: jnp.ndarray,
                   cfg: SiftConfig
                   ) -> Tuple[RefinedKeypoints, jnp.ndarray]:
     """Keypoints from walk survivors.  ``st``: WalkState rows already
     gathered down to the surviving set (e.g. jax.tree.map(take, state));
-    ``valid``: the compaction's validity mask for those rows.  Gathers
+    ``valid``: the compaction's validity mask for those rows; ``flat``:
+    the (flat_b, flat_c) pair from walk_records_positions.  Gathers
     B/C (2 elements per survivor) and builds coordinates/size/response.
     Returns (RefinedKeypoints, octave [K'])."""
+    flat_b, flat_c, off = flat
     safe = jnp.where(valid, st.fi, 0)
-    b = jnp.take(flat, safe + st.hqwp)
-    cc = jnp.take(flat, safe + 2 * st.hqwp)
+    if off is None:                      # per-plane flats
+        b = jnp.take(flat_b, safe)
+        cc = jnp.take(flat_c, safe)
+    else:                                # 3-plane flat: B/C at +-strides
+        b = jnp.take(flat_b, safe + st.hqwp)
+        cc = jnp.take(flat_c, safe + 2 * st.hqwp)
     x0 = jnp.mod(b, 2048.0) * (1.0 / _XSCALE) - 0.5
     x1 = jnp.floor(b * (1.0 / 2048.0)) * (1.0 / _XSCALE) - 0.5
     x2 = jnp.mod(cc, 1024.0) * (1.0 / _SSCALE) - 0.5
