@@ -99,10 +99,10 @@ def main():
     orig_desc = FS.descriptor_fused
 
     def time_ori(block_k, nbuf):
-        FS.NBUF = nbuf
         orig_ori.clear_cache()
         FS.orientation_hist_fused = (
-            lambda *a, **kw: orig_ori(*a, **{**kw, "block_k": block_k}))
+            lambda *a, **kw: orig_ori(*a, **{**kw, "block_k": block_k,
+                                             "nbuf": nbuf}))
 
         def step(x):
             hist = O.orientation_histograms_fused(
@@ -116,10 +116,10 @@ def main():
               flush=True)
 
     def time_desc(block_k, nbuf):
-        FS.NBUF = nbuf
         orig_desc.clear_cache()
         FS.descriptor_fused = (
-            lambda *a, **kw: orig_desc(*a, **{**kw, "block_k": block_k}))
+            lambda *a, **kw: orig_desc(*a, **{**kw, "block_k": block_k,
+                                              "nbuf": nbuf}))
 
         def step(x):
             desc, _ = D.compute_descriptors_fused(
@@ -132,14 +132,17 @@ def main():
         print(f"desc block_k={block_k:3d} NBUF={nbuf} {ms:7.3f} ms",
               flush=True)
 
-    for bk in (24, 48, 96):
+    # scratch = nbuf * block_k * rows * 128 * 4B must stay well under
+    # the 16 MB VMEM (ori rows ~48, desc rows ~88).
+    for bk in (24, 48):
         time_ori(bk, 4)
-    time_ori(48, 2)
     time_ori(48, 8)
+    time_ori(96, 4)
     for bk in (8, 16, 32):
         time_desc(bk, 4)
     time_desc(16, 2)
     time_desc(16, 8)
+    time_desc(32, 2)
 
 
 if __name__ == "__main__":

@@ -229,8 +229,13 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
                                 pack=2, interpret=interpret, count=count)
         return finalize_descriptor(hist)
 
-    classes = [(rs, 2), (rmax, 1)]          # (radius bound, pack)
-    bk = 16
+    # (radius bound, pack): a finer small class (r <= 26 -> 64-row
+    # windows) trims ~11% of the vector work for the most common radii;
+    # bounds above DESC_PACK_RADIUS cannot lane-pack.
+    classes = [(b, 2) for b in (26, rs) if b < rmax] + [(rmax, 1)]
+    # Smaller blocks win once the block stream is long (1920x1200 sweep:
+    # block_k 8 -> 3.87 ms vs 16 -> 4.02; at 752x480, 16 edges 8 by 3%).
+    bk = 16 if cfg.width * cfg.height <= 1_000_000 else 8
     kp = k + bk                              # + sink/overrun block
     ci = jnp.zeros((k,), jnp.int32)
     for b, _ in classes[:-1]:

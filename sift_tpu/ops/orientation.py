@@ -167,9 +167,14 @@ def orientation_histograms_fused(slab, octave, x, y, layer,
         1.0 - pyf, hf - 2.0 - pyf, 1.0 - pxf, wf - 2.0 - pxf,
         es, radius, valid.astype(jnp.float32),
         zero, zero, zero, off.astype(jnp.float32)], axis=1)
+    # DMA ring depth by frame class (v5e sweep, scripts/kernel_bench.py):
+    # deeper rings win on small frames (752x480: 0.23 vs 0.33 ms) but
+    # lose once the block stream is long (1920x1200: 0.83 vs 0.73 ms).
+    nbuf = 8 if cfg.width * cfg.height <= 1_000_000 else 4
     return orientation_hist_fused(slab.values, ys0, xs0, par, rows,
                                   pack=pack_factor(rmax),
-                                  interpret=interpret, count=count)
+                                  interpret=interpret, count=count,
+                                  nbuf=nbuf)
 
 
 def orientation_histograms(block: jnp.ndarray, x, y, layer, size, valid,

@@ -89,4 +89,10 @@ def measure_ms(step: Callable, x, k_small: int = 4, k_large: int = 24,
 
     t_large = run(kl)
     t_small = run(ks)
+    if t_large <= t_small:
+        # Transport noise burst (observed: a single stalled round-trip
+        # inflates t_small past t_large, yielding a nonsense ~0 slope).
+        # One full retry of both points beats reporting garbage.
+        t_large = run(kl)
+        t_small = run(ks)
     return max(t_large - t_small, 1e-9) * 1e3 / (k_large - k_small)
