@@ -234,13 +234,18 @@ class SiftDetector:
     def __init__(self, config: SiftConfig, quant_mode: str = "opencv",
                  jit: bool = True, tiers: tuple = ()):
         """``tiers``: optional ascending internal keypoint-capacity tiers
-        (e.g. (1024, 2048)).  Real frames usually carry far fewer
-        keypoints than num_features; running the per-keypoint stages at a
-        matched capacity cuts their cost proportionally.  Tier selection
-        is automatic per frame (scaled previous count, with an exact
-        saturation fallback that re-runs the full program), and every
-        tier pads its output to num_features so downstream shapes never
-        change."""
+        (e.g. (1024, 2048)).  Tier selection is automatic per frame
+        (scaled previous count, with an exact saturation fallback that
+        re-runs the full program), and every tier pads its output to
+        num_features so downstream shapes never change.
+
+        NOTE (measured, tools/benchmark.py --tiers, v5e @752x480):
+        count-gated kernels made tiers a net LOSS — the full-capacity
+        program runs 1.09 ms vs 1.69/1.71 ms for tiers 1024/2048 (the
+        per-keypoint stages already scale with the frame's live count,
+        so a tier only shrinks capacity-shaped glue while adding output
+        padding).  Tiers remain supported for API stability; leave them
+        off unless a future workload shows capacity-bound glue."""
         self.config = config
         self.plan = build_plan(config)
         wrap = jax.jit if jit else (lambda f: f)

@@ -33,6 +33,11 @@ def main(argv=None):
                    help="also measure single-chip THROUGHPUT with this "
                         "many frames vmapped into one program (amortizes "
                         "per-program fixed costs; reports per-frame ms)")
+    p.add_argument("--tiers", nargs="*", type=int, default=None,
+                   help="also measure the capacity-TIER programs "
+                        "(detector.py tier dispatch) at these internal "
+                        "keypoint capacities — the device-side latency a "
+                        "tracking loop pays when the tier fits the frame")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -70,6 +75,23 @@ def main(argv=None):
             "metric": name, "value": round(ms, 4), "unit": "ms",
             "keypoints": count,
             "vs_baseline": round(ms / base, 4) if base else None}))
+
+        if args.tiers:
+            for tier in args.tiers:
+                tfn = build_detect_fn(build_plan(cfg), kpt_cap=tier)
+
+                def tstep(im):
+                    res = tfn(im)
+                    return im, (jnp.sum(res.descriptors)
+                                + jnp.sum(res.keypoints.x))
+
+                tms = measure_ms(tstep, img)
+                print(json.dumps({
+                    "metric": f"detect_compute_{w}x{h}_tier{tier}",
+                    "value": round(tms, 4), "unit": "ms",
+                    "keypoints": count,
+                    "vs_baseline": round(tms / base, 4) if base
+                    else None}))
 
         if args.batch:
             from sift_tpu.parallel.batched import batched_detect_fn
