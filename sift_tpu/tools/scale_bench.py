@@ -49,7 +49,11 @@ def measure(n_devices: int, cfg, frames_per_device: int,
     t0 = time.perf_counter()
     for _ in range(iters):
         res, matches = fn(garr)
-    jax.block_until_ready((res, matches))
+        # Block EVERY iteration: blocking only on the last call's
+        # outputs measures dispatch rate, not computation (observed:
+        # a 14k-frames/s "CPU" rate — earlier runs of this script
+        # under-reported absolute fps the same way).
+        jax.block_until_ready((res, matches))
     dt = time.perf_counter() - t0
     return b * iters / dt
 
@@ -61,11 +65,20 @@ def main(argv=None):
     p.add_argument("--num-features", type=int, default=512)
     p.add_argument("--frames-per-device", type=int, default=2)
     p.add_argument("--iters", type=int, default=4)
+    p.add_argument("--cpu-mesh", type=int, default=0,
+                   help="force the CPU backend with N virtual devices. "
+                        "Must be requested HERE, not via JAX_PLATFORMS: "
+                        "this environment preloads a TPU PJRT plugin "
+                        "that ignores the env var (a 'cpu' run silently "
+                        "lands on the TPU with early-ack timing)")
     args = p.parse_args(argv)
 
+    import jax
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", args.cpu_mesh)
     from sift_tpu.perf.cache import enable_compilation_cache
     enable_compilation_cache()
-    import jax
 
     from sift_tpu.config import SiftConfig
 
