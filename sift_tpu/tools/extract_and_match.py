@@ -21,6 +21,9 @@ def main(argv=None):
     p.add_argument("--ratio", type=float, default=0.8)
     p.add_argument("--out-dir", default=None,
                    help="write drawMatches visualizations here")
+    p.add_argument("--tiers", action="store_true",
+                   help="enable capacity-tier dispatch (measured slower "
+                        "than full capacity on count-gated kernels)")
     args = p.parse_args(argv)
 
     import numpy as np
@@ -37,8 +40,11 @@ def main(argv=None):
         raise SystemExit(f"no images in {args.dir}")
     h, w = frames[0].shape
     cfg = SiftConfig(width=w, height=h, num_features=args.num_features)
-    tiers = tuple(t for t in (args.num_features // 4, args.num_features // 2)
-                  if t >= 256)
+    # Tiers measured counterproductive with count-gated kernels
+    # (doc/performance.md "Capacity tiers"): full capacity by default.
+    tiers = tuple(t for t in (args.num_features // 4,
+                              args.num_features // 2)
+                  if t >= 256) if args.tiers else ()
     det = SiftDetector(cfg, tiers=tiers)
     det.warm_up()
 
