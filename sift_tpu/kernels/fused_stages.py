@@ -117,7 +117,7 @@ NBUF = 4
 
 
 def _start_block(ys_ref, xs_ref, src_ref, wins, sems, slot, base,
-                 block_k, rows):
+                 block_k, rows, lanes=DMA_LANES):
     """Issue the block at keypoint offset ``base``'s block_k window DMAs
     into ring slot ``slot``.  All of a slot's copies share ONE semaphore
     (sems[slot]) so the consumer can wait for the whole slot in a single
@@ -129,7 +129,7 @@ def _start_block(ys_ref, xs_ref, src_ref, wins, sems, slot, base,
         ys = pl.multiple_of(ys_ref[base + j], SUBLANE)
         xs = pl.multiple_of(xs_ref[base + j], LANES)
         pltpu.make_async_copy(
-            src_ref.at[pl.ds(ys, rows), pl.ds(xs, DMA_LANES)],
+            src_ref.at[pl.ds(ys, rows), pl.ds(xs, lanes)],
             wins.at[slot, j],
             sems.at[slot]).start()
 
@@ -209,7 +209,18 @@ def _packed_window(wins, slot, jl, jg, sh_ref, vld, seg, masks):
     segments never wrap: off + lane-in-segment < 32 + 64 < 128."""
     ok = vld > 0.0
     if len(jl) == 1:
-        return jnp.where(ok, wins[slot, jl[0]], 0.0)
+        w = wins[slot, jl[0]]
+        if w.shape[1] > LANES:
+            # 2-copy slab: the patch's lane offset can reach 128/copies
+            # - 1 = 63, so a 128-lane window cannot contain a wide
+            # pack-1 patch.  The window is DMA'd at 256 lanes and
+            # rolled so the patch starts at lane 0 (sh = (256 - off) %
+            # 256); wrapped lanes land at >= 256 - off > 128 and are
+            # cut by the slice, so the uncapped-radius masks can never
+            # read them (the wrap hazard that forbids rolling 128-lane
+            # pack-1 windows).
+            w = pltpu.roll(w, sh_ref[jg[0]], 1)[:, :LANES]
+        return jnp.where(ok, w, 0.0)
     win = None
     for s, (j, g) in enumerate(zip(jl, jg)):
         w = pltpu.roll(wins[slot, j], sh_ref[g], 1)
@@ -337,21 +348,25 @@ def _pad_par_lanes(par):
     return jnp.pad(par, ((0, 0), (0, LANES - par.shape[1])))
 
 
-def _roll_shifts(par, pack, start=0):
+def _roll_shifts(par, pack, start=0, win_lanes=LANES):
     """Per-keypoint combined lane-roll shift for _packed_window,
     precomputed host-side and prefetched to SMEM (int32): shift =
     (LANES - dma_offset + segment_index * seg) % LANES, where a
     keypoint's segment index is its position within its pack group.
     ``start``: keypoint offset of the kernel's first block (classed
-    invocations) — group slots count from there."""
+    invocations) — group slots count from there.  Wide (256-lane)
+    pack-1 windows roll the patch to lane 0: shift = (256 - off) % 256.
+    """
     kp = par.shape[0]
+    off = par[:, 12].astype(jnp.int32)
+    if pack == 1 and win_lanes > LANES:
+        return (win_lanes - off) % win_lanes
     seg = LANES // pack
     s = jnp.mod(jnp.arange(kp, dtype=jnp.int32) - start, pack)
-    off = par[:, 12].astype(jnp.int32)
     return (LANES - off + s * seg) % LANES
 
 
-def _clamp_origins(ys0, xs0, values, rows):
+def _clamp_origins(ys0, xs0, values, rows, lanes=DMA_LANES):
     """Clamp DMA origins into the slab (alignment-preserving).  The
     dynamic-trip kernels issue every window DMA in a live block without
     per-copy validity branches, so an INVALID entry inside the last live
@@ -359,7 +374,7 @@ def _clamp_origins(ys0, xs0, values, rows):
     readable memory; its compute output is discarded by the validity
     mask."""
     ymax = max((values.shape[0] - rows) // SUBLANE * SUBLANE, 0)
-    xmax = max((values.shape[1] - DMA_LANES) // LANES * LANES, 0)
+    xmax = max((values.shape[1] - lanes) // LANES * LANES, 0)
     return (jnp.clip(ys0, 0, ymax).astype(jnp.int32),
             jnp.clip(xs0, 0, xmax).astype(jnp.int32))
 
@@ -449,7 +464,7 @@ def orientation_hist_fused(values, ys0, xs0, par, rows: int,
 def _desc_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
                  out_ref, wins, sems, *,
                  rows: int, block_k: int, n_kpts: int, pack: int,
-                 nbuf: int):
+                 nbuf: int, win_lanes: int = DMA_LANES):
     """Dynamic-trip driver — see _ori_kernel."""
     nblocks = (cnt_ref[0] + block_k - 1) // block_k
     start = cnt_ref[1]
@@ -458,7 +473,7 @@ def _desc_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
         @pl.when(b < nblocks)
         def _(b=b):
             _start_block(ys_ref, xs_ref, src_ref, wins, sems, b,
-                         start + b * block_k, block_k, rows)
+                         start + b * block_k, block_k, rows, win_lanes)
 
     seg = LANES // pack
     masks = _seg_masks(pack, seg)
@@ -472,7 +487,7 @@ def _desc_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
             _start_block(ys_ref, xs_ref, src_ref, wins, sems,
                          jax.lax.rem(i + nbuf - 1, nbuf),
                          start + (i + nbuf - 1) * block_k,
-                         block_k, rows)
+                         block_k, rows, win_lanes)
 
         _wait_slot(wins, sems, slot)
         base = start + i * block_k
@@ -480,14 +495,15 @@ def _desc_kernel(cnt_ref, ys_ref, xs_ref, sh_ref, par_ref, src_ref,
             jl = [g * pack + s for s in range(pack)]
             jg = [base + j for j in jl]
             _desc_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg,
-                        rows, pack, seg, masks, segsel)
+                        rows, pack, seg, masks, segsel,
+                        wide=win_lanes > LANES)
         return carry
 
     jax.lax.fori_loop(0, nblocks, body, 0, unroll=False)
 
 
 def _desc_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg, rows,
-                pack, seg, masks, segsel):
+                pack, seg, masks, segsel, wide=False):
     t = _seg_table(par_ref, jg[0], pack, segsel)
     vld = _trow(t, 8)
     win = _packed_window(wins, slot, jl, jg, sh_ref, vld, seg, masks)
@@ -501,9 +517,14 @@ def _desc_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg, rows,
         jnp.int32, (1, LANES), 1) // seg
     seg_starts = (si * seg).astype(jnp.float32)
     offy = _trow(t, 0) + ri                          # [rows, LANES]
-    # Unpacked windows are unrolled (see _packed_window).
-    offx = (_trow(t, 1) + li if pack == 1
-            else _trow(t, 1, _trow(t, 12) - seg_starts) + li)
+    # pack-1 windows from a 4-copy slab are unrolled (offx relative to
+    # DMA lane 0); wide (256-lane, 2-copy slab) pack-1 windows are
+    # rolled so the patch starts at lane 0 (offx shifts by the patch
+    # offset, col 12).  Packed windows roll to segment starts.
+    if pack == 1:
+        offx = (_trow(t, 1, _trow(t, 12)) if wide else _trow(t, 1)) + li
+    else:
+        offx = _trow(t, 1, _trow(t, 12) - seg_starts) + li
     es = _trow(t, 6)
     rad = _trow(t, 7)
     my = ((offy >= _trow(t, 2)) & (offy <= _trow(t, 3))
@@ -559,11 +580,11 @@ def _desc_group(par_ref, sh_ref, out_ref, wins, slot, jl, jg, rows,
 
 @functools.partial(jax.jit,
                    static_argnames=("rows", "block_k", "pack", "interpret",
-                                    "nbuf"))
+                                    "nbuf", "win_lanes"))
 def descriptor_fused(values, ys0, xs0, par, rows: int,
                      block_k: int = 16, pack: int = 1,
                      interpret: bool = False, count=None, start=None,
-                     nbuf: int = 0):
+                     nbuf: int = 0, win_lanes: int = DMA_LANES):
     """values/origins/par as orientation_hist_fused (par additionally
     carries cos_t, sin_t, ang).  ``count``: live keypoint count — see
     orientation_hist_fused.  ``pack``: keypoints per 128-lane compute
@@ -576,6 +597,7 @@ def descriptor_fused(values, ys0, xs0, par, rows: int,
     histograms (pre-normalization, cell-major r, c, o — finalize_
     descriptor order; rows outside [start, start+count) garbage)."""
     assert block_k % pack == 0 and block_k % 8 == 0
+    assert win_lanes == DMA_LANES or pack == 1
     nbuf = nbuf or NBUF
     k = ys0.shape[0]
     kp = -(-k // block_k) * block_k
@@ -583,11 +605,12 @@ def descriptor_fused(values, ys0, xs0, par, rows: int,
         # The last live block may run past start+count by block_k-1
         # rows; one extra block of padding keeps every read in-bounds.
         kp += block_k
-    ys0, xs0 = _clamp_origins(ys0, xs0, values, rows)
+    ys0, xs0 = _clamp_origins(ys0, xs0, values, rows, win_lanes)
     par = _pad_par_lanes(par)
     if kp != k:
         ys0, xs0, par = _pad_args(ys0, xs0, par, k, kp)
-    sh = _roll_shifts(par, pack, 0 if start is None else start)
+    sh = _roll_shifts(par, pack, 0 if start is None else start,
+                      win_lanes)
     cnt = jnp.stack([
         jnp.asarray(kp, jnp.int32) if count is None
         else jnp.minimum(count, kp).astype(jnp.int32),
@@ -603,13 +626,14 @@ def descriptor_fused(values, ys0, xs0, par, rows: int,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((nbuf, block_k, rows, DMA_LANES), jnp.float32),
+            pltpu.VMEM((nbuf, block_k, rows, win_lanes), jnp.float32),
             pltpu.SemaphoreType.DMA((nbuf,)),
         ],
     )
     out = pl.pallas_call(
         functools.partial(_desc_kernel, rows=rows, block_k=block_k,
-                          n_kpts=kp, pack=pack, nbuf=nbuf),
+                          n_kpts=kp, pack=pack, nbuf=nbuf,
+                          win_lanes=win_lanes),
         out_shape=jax.ShapeDtypeStruct((kp, _D * _D * _NBD), jnp.float32),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(has_side_effects=True),

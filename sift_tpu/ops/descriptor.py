@@ -259,12 +259,19 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
     ysp = parp[:, 13].astype(jnp.int32)
     xsp = parp[:, 14].astype(jnp.int32)
 
+    # 2-copy slabs place patches at lane offsets up to 63: a wide
+    # pack-1 patch (up to 81 lanes + offset) cannot fit a 128-lane
+    # window, so the unpacked class DMAs 256 lanes and the kernel rolls
+    # the patch to lane 0 (packed classes always roll — unaffected).
+    wide = 256 if (slab.copies < 4 and slab.values.shape[1] >= 256) \
+        else 128
     gathered = []
     for c, (b, pack_c) in enumerate(classes):
         h = descriptor_fused(
             slab.values, ysp, xsp, parp, window_rows(min(b, rmax)),
             block_k=bk, pack=pack_c, interpret=interpret,
-            count=counts[c], start=starts[c])
+            count=counts[c], start=starts[c],
+            win_lanes=wide if pack_c == 1 else 128)
         gathered.append(jnp.take(h, dest, axis=0))
 
     hist = gathered[-1]

@@ -135,13 +135,22 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
             # gradient slabs (kernels/fused_stages.py).
             nl = cfg.num_octave_layers
             margin = window_rows(rmax)
+            # 2 lane-shifted copies instead of 4 when the slab is wide
+            # enough for 256-lane unpacked descriptor windows: halves
+            # the slab's memory and the expansion pass's bandwidth
+            # (0.37 -> 0.19 ms at 1920x1200).  The packed kernels roll
+            # patches to segment starts regardless of offset; the
+            # unpacked descriptor class rolls its 256-lane window
+            # (ops/descriptor.compute_descriptors_fused).
+            wp0 = -(-max(plan.octaves[0].width, 128) // 128) * 128
+            ncop = 2 if wp0 >= 256 else 4
             slab_g = stack_pyramid(gauss, extra_rows=margin,
-                                   copies=4, layer_lo=1, layer_hi=nl + 1,
-                                   expand_impl=impl)
+                                   copies=ncop, layer_lo=1,
+                                   layer_hi=nl + 1, expand_impl=impl)
             ori_slab = slab_g if cfg.orientation_source == "gaussian" \
                 else stack_pyramid(dogs, extra_rows=margin,
-                                   copies=4, layer_lo=1, layer_hi=nl + 1,
-                                   expand_impl=impl)
+                                   copies=ncop, layer_lo=1,
+                                   layer_hi=nl + 1, expand_impl=impl)
             # Live counts let the kernels skip whole blocks past the
             # frame's actual keypoint count (compactions are valid-first).
             n_kp = jnp.sum(val.astype(jnp.int32))

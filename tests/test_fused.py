@@ -134,3 +134,46 @@ def test_detector_fused_end_to_end(test_image):
     dd = np.abs(np.asarray(rf.descriptors[:n], np.int32)
                 - np.asarray(rp.descriptors[:n], np.int32))
     assert dd.max() <= 1.0
+
+
+def test_descriptor_fused_2copy_slab(fused_setup):
+    """The 2-copy slab path (production for frames >= 256 lanes wide):
+    unpacked big-radius patches ride rolled 256-lane windows.  Same
+    tolerance as the 4-copy path vs the flat formulation."""
+    cfg, gauss, slab4, kp = fused_setup
+    import numpy as np
+    from sift_tpu.kernels.window_gather import window_rows
+    L = cfg.num_octave_layers + 3
+    rmax = max(max_descr_radius(cfg), max_ori_radius(cfg))
+    del slab4  # rebuild the stacked slab with 2 lane-shifted copies
+    slab2 = stack_pyramid(
+        [jnp.asarray(b) for b in _slab_source_blocks(fused_setup)],
+        extra_rows=window_rows(rmax), copies=2, layer_lo=1,
+        layer_hi=L - 2)
+    gradp = shift_copies(dense_gradients_packed(gauss))
+    d_flat, n_flat = D.compute_descriptors_flat(
+        gradp, kp["octave"], kp["x"], kp["y"], kp["layer"], kp["size"],
+        kp["angle"], kp["valid"], cfg)
+    d_fused, n_fused = D.compute_descriptors_fused(
+        slab2, kp["octave"], kp["x"], kp["y"], kp["layer"], kp["size"],
+        kp["angle"], kp["valid"], cfg, interpret=True)
+    qf = np.asarray(D.quantize_descriptor(d_flat, n_flat, "opencv"))
+    qp = np.asarray(D.quantize_descriptor(d_fused, n_fused, "opencv"))
+    diff = np.abs(qf - qp).max(axis=1)
+    inc = kp["in_contract"]
+    assert diff[inc].max() <= 1.0
+    assert np.isfinite(qp).all()
+
+
+def _slab_source_blocks(fused_setup):
+    """Recreate the fixture's raw per-octave blocks (deterministic)."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    cfg = fused_setup[0]
+    L = cfg.num_octave_layers + 3
+    blocks = []
+    h, w = 240, 320
+    for o in range(3):
+        blocks.append(rng.normal(
+            100, 40, (L, h >> o, w >> o)).astype(np.float32))
+    return blocks
