@@ -241,22 +241,18 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
         row += nrec * hq * wp                # per-PLANE octave stride
     # Flattening the record field is a physical relayout copy; the walk
     # reads only the A plane and finalize only B/C.  Splitting into
-    # per-plane flats lets the A flat die at walk end — measured -75
-    # MiB of peak temp at 1600x900 — but at 1920x1200 XLA's allocator
-    # keeps MORE live with the split (+104 MiB, barrier placement makes
-    # no difference), so the split is applied below ~2M-pixel frames
-    # only (empirical, scripts/mem_analysis.py on v5e; both variants
-    # are numerically identical).
-    split = cfg.width * cfg.height <= 1_600_000
-    if split:
-        flat_a = jnp.concatenate([rr.values[:, 0].reshape(-1)
-                                  for rr in recs])
-        flat_b = jnp.concatenate([rr.values[:, 1].reshape(-1)
-                                  for rr in recs])
-        flat_c = jnp.concatenate([rr.values[:, 2].reshape(-1)
-                                  for rr in recs])
-    else:
-        flat3 = jnp.concatenate([rr.values.reshape(-1) for rr in recs])
+    # per-plane flats lets the A flat die at walk end: measured -75 MiB
+    # of peak temp at 1600x900 and (once the 2-copy slab landed) -31
+    # MiB at 1920x1200.  (With the old 4-copy slab the 1920 allocator
+    # preferred the combined flat by +104 MiB — XLA buffer assignment
+    # is sensitive to the co-live set, so re-measure with
+    # scripts/mem_analysis.py when the pipeline's big buffers change.)
+    flat_a = jnp.concatenate([rr.values[:, 0].reshape(-1)
+                              for rr in recs])
+    flat_b = jnp.concatenate([rr.values[:, 1].reshape(-1)
+                              for rr in recs])
+    flat_c = jnp.concatenate([rr.values[:, 2].reshape(-1)
+                              for rr in recs])
 
     octv = jnp.concatenate([
         jnp.full(cc[0].shape, o, jnp.int32) for o, cc in enumerate(cands)])
@@ -288,14 +284,10 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
     hqwp = sel([hq * wp for hq, wp in zip(hqs, wps)])
     wp = sel(wps)
 
-    stride = 1 if split else 3
-
     def pos_idx(l, r, c):
-        """PLANE-LOCAL index: addresses A/B/C in their per-plane
-        flats (split) or the A slot of the 3-plane flat (unsplit —
-        base scales by 3, B/C live at +hqwp/+2*hqwp)."""
-        return (base * stride
-                + (jnp.clip(l, 1, d - 2) - 1) * stride * hqwp
+        """PLANE-LOCAL index (the same position addresses A, B or C
+        in their per-plane flats)."""
+        return (base + (jnp.clip(l, 1, d - 2) - 1) * hqwp
                 + jnp.clip(r, 0, h - 1) * wp + jnp.clip(c, 0, w - 1))
 
     c = cx.astype(jnp.int32)
@@ -308,7 +300,7 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
 
     for _ in range(int(SIFT_MAX_INTERP_STEPS)):
         active = alive & ~converged
-        a = jnp.take(flat_a if split else flat3, pos_idx(l, r, c))
+        a = jnp.take(flat_a, pos_idx(l, r, c))
         conv_now, diverged, (sx, sy, sl) = decode_steps(a)
         # A converged candidate's position never changes again, so the
         # A value at the convergence step IS the final-position A:
@@ -330,13 +322,8 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
         converged = converged | (active & conv_now)
 
     ok = alive & converged & edge & cok
-    fi = pos_idx(l, r, c)
-    if split:
-        bc = (flat_b, flat_c, None)
-    else:
-        bc = (flat3, flat3, hqwp)
     return WalkState(l=l, r=r, c=c, ok=ok, octv=octv,
-                     fi=fi, hqwp=hqwp), bc
+                     fi=pos_idx(l, r, c), hqwp=hqwp), (flat_b, flat_c)
 
 
 def finalize_walk(flat, st: WalkState, valid: jnp.ndarray,
@@ -348,14 +335,10 @@ def finalize_walk(flat, st: WalkState, valid: jnp.ndarray,
     the (flat_b, flat_c) pair from walk_records_positions.  Gathers
     B/C (2 elements per survivor) and builds coordinates/size/response.
     Returns (RefinedKeypoints, octave [K'])."""
-    flat_b, flat_c, off = flat
+    flat_b, flat_c = flat
     safe = jnp.where(valid, st.fi, 0)
-    if off is None:                      # per-plane flats
-        b = jnp.take(flat_b, safe)
-        cc = jnp.take(flat_c, safe)
-    else:                                # 3-plane flat: B/C at +-strides
-        b = jnp.take(flat_b, safe + st.hqwp)
-        cc = jnp.take(flat_c, safe + 2 * st.hqwp)
+    b = jnp.take(flat_b, safe)
+    cc = jnp.take(flat_c, safe)
     x0 = jnp.mod(b, 2048.0) * (1.0 / _XSCALE) - 0.5
     x1 = jnp.floor(b * (1.0 / 2048.0)) * (1.0 / _XSCALE) - 0.5
     x2 = jnp.mod(cc, 1024.0) * (1.0 / _SSCALE) - 0.5
