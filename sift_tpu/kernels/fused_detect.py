@@ -175,9 +175,9 @@ def _detect_kernel(gp_ref, out_ref, scratch, sems, *,
                                          flags, peak, cok)
 
         sl = slice(HALO, HALO + TILE_ROWS)
-        out_ref[lr - 1, 0] = a[sl]
-        out_ref[lr - 1, 1] = b[sl]
-        out_ref[lr - 1, 2] = cch[sl]
+        out_ref[0, lr - 1] = a[sl]
+        out_ref[1, lr - 1] = b[sl]
+        out_ref[2, lr - 1] = cch[sl]
 
 
 # Octaves smaller than this run the jnp path: Mosaic tiling and the
@@ -212,7 +212,9 @@ def detect_records_pallas(gp: jnp.ndarray, h: int, w: int,
     n_tiles*TILE_ROWS + 2*HALO with n_tiles = ceil(h / TILE_ROWS)
     (pad_octave_for_detect builds this, and the tiled pyramid emits it
     natively).  Returns the packed record field
-    [NL-3, 3, n_tiles*TILE_ROWS, Wp] f32 (see module docstring)."""
+    [3, NL-3, n_tiles*TILE_ROWS, Wp] f32, PLANE-major: flattening one
+    plane for the walk's gathers is then a sliceless reshape (see
+    module docstring)."""
     nl, hin, wp = gp.shape
     n_tiles = -(-h // TILE_ROWS)
     # >= not ==: the tiled pyramid rounds rows up to its own 128-row
@@ -230,11 +232,11 @@ def detect_records_pallas(gp: jnp.ndarray, h: int, w: int,
             octave_layers=octave_layers),
         grid=(n_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((nrec, 3, TILE_ROWS, wp),
+        out_specs=pl.BlockSpec((3, nrec, TILE_ROWS, wp),
                                lambda i: (0, 0, i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (nrec, 3, n_tiles * TILE_ROWS, wp), jnp.float32),
+            (3, nrec, n_tiles * TILE_ROWS, wp), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, nl, rows, wp), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

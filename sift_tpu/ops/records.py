@@ -111,10 +111,12 @@ def decode_final(a, b, c):
 class OctaveRecords(NamedTuple):
     """One octave's packed record field.
 
-    values: [L, 3, Hq, Wp] f32 (record layers 1..L of the DoG stack,
-    channels A/B/C; Hq >= h, Wp >= w row/lane padding — padded pixels
-    carry A without the peak bit, so they can never become candidates,
-    and the walk's clamps keep live candidates off them).
+    values: [3, L, Hq, Wp] f32, PLANE-major (channels A/B/C, then
+    record layers 1..L of the DoG stack; Hq >= h, Wp >= w row/lane
+    padding — padded pixels carry A without the peak bit, so they can
+    never become candidates, and the walk's clamps keep live
+    candidates off them).  Plane-major so per-plane flattening (the
+    walk/finalize gather sources) slices nothing.
     """
 
     values: jnp.ndarray
@@ -131,7 +133,7 @@ def records_jnp(gauss_oct: jnp.ndarray, cfg: SiftConfig) -> OctaveRecords:
     mask, _ = peak_mask(dog, cfg.peak_threshold, SIFT_IMG_BORDER)
     cok = contrast * cfg.num_octave_layers >= cfg.contrast_threshold
     a, b, c = pack_record_channels(x0, x1, x2, contrast, flags, mask, cok)
-    rec = jnp.stack([a, b, c], axis=1)                  # [L, 3, H, W]
+    rec = jnp.stack([a, b, c], axis=0)                  # [3, L, H, W]
     hq = -(-max(h, 8) // 8) * 8
     wp = -(-max(w, 128) // 128) * 128
     rec = jnp.pad(rec, ((0, 0), (0, 0), (0, hq - h), (0, wp - w)))
@@ -176,8 +178,8 @@ def candidates_from_records(rec: OctaveRecords, cap: int):
     find_candidates equivalent (same compaction semantics: first ``cap``
     set bits in layer-major index order).  Returns (x, y, layer, valid),
     layer in 1..L (DoG layer index, MatOps.cu:177)."""
-    nrec, _, hq, wp = rec.values.shape
-    mask = _bit(rec.values[:, 0], 3).reshape(-1)
+    _, nrec, hq, wp = rec.values.shape
+    mask = _bit(rec.values[0], 3).reshape(-1)
     idx, valid = stream_compact(mask, cap)
     lyr = idx // (hq * wp) + 1
     rem = idx % (hq * wp)
@@ -227,12 +229,12 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
     Truncation drops trailing (highest-octave) candidates only on
     frames whose RAW extrema count exceeds twice the requested feature
     count."""
-    d = recs[0].values.shape[0] + 2          # DoG layer count
+    d = recs[0].values.shape[1] + 2          # DoG layer count
     border = SIFT_IMG_BORDER
     bases, hs, ws, hqs, wps = [], [], [], [], []
     row = 0
     for rr in recs:
-        nrec, _, hq, wp = rr.values.shape
+        _, nrec, hq, wp = rr.values.shape
         bases.append(row)
         hs.append(rr.h)
         ws.append(rr.w)
@@ -247,11 +249,11 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
     # preferred the combined flat by +104 MiB — XLA buffer assignment
     # is sensitive to the co-live set, so re-measure with
     # scripts/mem_analysis.py when the pipeline's big buffers change.)
-    flat_a = jnp.concatenate([rr.values[:, 0].reshape(-1)
+    flat_a = jnp.concatenate([rr.values[0].reshape(-1)
                               for rr in recs])
-    flat_b = jnp.concatenate([rr.values[:, 1].reshape(-1)
+    flat_b = jnp.concatenate([rr.values[1].reshape(-1)
                               for rr in recs])
-    flat_c = jnp.concatenate([rr.values[:, 2].reshape(-1)
+    flat_c = jnp.concatenate([rr.values[2].reshape(-1)
                               for rr in recs])
 
     octv = jnp.concatenate([

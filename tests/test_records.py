@@ -41,26 +41,26 @@ def test_pallas_records_match_jnp(test_image):
         # All five decision bits of A (conv, div, edge, peak,
         # contrast_ok) must agree exactly — same f32 expressions in
         # both impls.
-        np.testing.assert_array_equal(a[:, 0] % 32, b[:, 0] % 32,
+        np.testing.assert_array_equal(a[0] % 32, b[0] % 32,
                                       err_msg=f"octave {o} flag bits")
         # The rounded-step payloads and the B/C quantized payloads sit
         # one round() away from raw f32 values: Cramer-ratio
         # cancellation noise between the two impls can flip a
         # quantization step on rare ill-conditioned pixels (measured:
         # ~1e-4 of pixels, always by exactly one quantum).
-        n = a[:, 0].size
-        assert (a[:, 0] != b[:, 0]).sum() <= max(3, n // 100_000)
-        assert (a[:, 1] != b[:, 1]).sum() <= max(30, n // 5_000)
-        assert (a[:, 2] != b[:, 2]).sum() <= max(80, n // 2_000)
+        n = a[0].size
+        assert (a[0] != b[0]).sum() <= max(3, n // 100_000)
+        assert (a[1] != b[1]).sum() <= max(30, n // 5_000)
+        assert (a[2] != b[2]).sum() <= max(80, n // 2_000)
         # On CONV pixels (the only places the walk consumes B/C as
         # values) any difference must be a single quantization step.
         # Non-conv pixels include near-singular Hessians where Cramer
         # cancellation amplifies f32 noise by orders of magnitude —
         # bounded in count above, unconstrained in size.
-        conv = (a[:, 0] % 2).astype(bool)
+        conv = (a[0] % 2).astype(bool)
         for ch, quanta in ((1, (1, 2047, 2048, 2049)),
                            (2, (1, 1023, 1024, 1025))):
-            d = np.abs(np.where(conv, a[:, ch] - b[:, ch], 0))
+            d = np.abs(np.where(conv, a[ch] - b[ch], 0))
             bad = d[d > 0]
             assert np.isin(bad, quanta).all() or bad.size == 0, \
                 f"octave {o} ch {ch}: non-unit quant diffs on conv"

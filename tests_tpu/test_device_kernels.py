@@ -62,8 +62,8 @@ def test_detect_records_kernel_on_device():
     rj = records_jnp(oct_, cfg)
     a = np.asarray(rk.values)[:, :, 1:127, 1:255]
     b = np.asarray(rj.values)[:, :, 1:127, 1:255]
-    np.testing.assert_array_equal(a[:, 0], b[:, 0])     # A: flags+steps
-    np.testing.assert_allclose(a[:, 1:], b[:, 1:], atol=1.0)
+    np.testing.assert_array_equal(a[0], b[0])           # A: flags+steps
+    np.testing.assert_allclose(a[1:], b[1:], atol=1.0)
 
 
 def test_expand_lane_copies_on_device():
