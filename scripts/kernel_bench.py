@@ -57,7 +57,7 @@ def pipeline_state(plan, image):
     idx, val = C.stream_compact(st.ok, kcap)
     stc = jax.tree.map(lambda a: jnp.take(a, idx), st)
     ref, koct = finalize_walk(rflat, stc, val, cfg)
-    slab = stack_pyramid(gauss, extra_rows=window_rows(rmax), copies=4,
+    slab = stack_pyramid(gauss, extra_rows=window_rows(rmax), copies=2,
                          layer_lo=1, layer_hi=cfg.num_octave_layers + 1)
     n_kp = jnp.sum(val.astype(jnp.int32))
     hist = O.orientation_histograms_fused(
@@ -86,11 +86,11 @@ def main():
     img = jax.device_put(jnp.asarray(bench_image(h, w), jnp.float32))
     state = jax.jit(functools.partial(pipeline_state, plan))(img)
     # jit traces the StackedPyramid's static int fields into arrays;
-    # restore them (copies=4, layers=D, copy_rows=Hs/copies).
+    # restore them (copies=2, layers=D, copy_rows=Hs/copies).
     slab = state["slab"]
     state["slab"] = slab._replace(
-        layers=cfg.num_gauss_layers, copies=4,
-        copy_rows=slab.values.shape[0] // 4)
+        layers=cfg.num_gauss_layers, copies=2,
+        copy_rows=slab.values.shape[0] // 2)
     print(f"{w}x{h}: {int(state['n_kp'])} kpts, "
           f"{int(state['n_desc'])} descriptors", flush=True)
 

@@ -78,7 +78,7 @@ def build_prefix_fn(plan, n_stages):
         kx, ky, klyr, ksize = ref.x, ref.y, ref.layer, ref.size
         if n_stages == 4:
             return jnp.sum(kx) + jnp.sum(ksize)
-        slab = stack_pyramid(gauss, extra_rows=window_rows(rmax), copies=4,
+        slab = stack_pyramid(gauss, extra_rows=window_rows(rmax), copies=2,
                              layer_lo=1, layer_hi=cfg.num_octave_layers + 1)
         if n_stages == 5:
             return jnp.sum(slab.values[0]) + jnp.sum(kx)
