@@ -46,6 +46,12 @@ def expand_lane_copies(base: jnp.ndarray, copies: int,
     if copies == 1:
         return base
     t = EXPAND_TILE if hs % EXPAND_TILE == 0 else 8
+    # Halve the row tile while a block exceeds ~2.5 MiB: at 4K widths a
+    # [256, ws] f32 block blows the 16 MiB scoped-VMEM budget (observed
+    # at ws=3968: 21 MiB > 16).  Powers of two down from EXPAND_TILE
+    # always divide the EXPAND_TILE-padded slab height.
+    while t > 8 and t * ws * 4 > 2_500_000:
+        t //= 2
     assert hs % t == 0
     nt = hs // t
     step = LANES // copies

@@ -35,6 +35,7 @@ def xla_expand(base, copies):
     (2 * EXPAND_TILE, 384),      # EXPAND_TILE path, multiple tiles
     (40, 256),                   # 8-row tile path (hs % 256 != 0)
     (8, 128),                    # minimal 8-row tile
+    (EXPAND_TILE, 2560),         # wide slab: VMEM-capped halved tile
 ])
 def test_expand_matches_xla(copies, hs, ws):
     rng = np.random.default_rng(hs * 7 + ws + copies)
