@@ -30,15 +30,16 @@ against each other in interpret mode.
 Window contract: the source is a row-STACKED raw pyramid with
 128/copies-lane-shifted copies (ops/flatpyr.stack_pyramid — every kept
 (octave, layer) plane at natural height; only the layers keypoints
-reference are kept, so 4 copies cost ~2x one full slab).  Copy selection
-(ops/flatpyr.stacked_origins) places each keypoint's patch at a lane
-offset < 128/copies inside an 8-row/128-lane aligned [rows, 128] DMA
-block, so the unpacked kernels touch the window as-is — no dynamic
-in-VMEM roll (measured ~0.15 us/keypoint on v5e, the single biggest
-per-keypoint overhead of the rolled design).  With copies=4 a patch of
-radius r <= 46 plus its 1-px gradient halo always fits.  The lane-packed
-orientation path still rolls — by (seg*s - off) — to place pack patches
-at segment starts.
+reference are kept).  Copy selection (ops/flatpyr.stacked_origins)
+places each keypoint's patch at a lane offset < 128/copies inside an
+8-row/128-lane aligned DMA block.  Production uses copies=2 (slab
+memory/bandwidth halved): packed windows roll patches to their segment
+starts (any offset), and UNPACKED windows — whose patch + offset can
+exceed 128 lanes — DMA 256 lanes and roll the patch to lane 0 (the
+wrap lands past the 128-lane slice, so uncapped-radius masks can never
+read a wrapped pixel; that hazard is what forbids rolling 128-lane
+unpacked windows, which is why copies=4 slabs serve them unrolled,
+offset < 32).
 """
 
 from __future__ import annotations

@@ -206,8 +206,8 @@ class WalkState(NamedTuple):
     c: jnp.ndarray       # [K] i32 final col
     ok: jnp.ndarray      # [K] bool: converged & edge_ok & contrast_ok
     octv: jnp.ndarray    # [K] i32 octave index
-    fi: jnp.ndarray      # [K] i32 flat A-plane index of the final position
-    hqwp: jnp.ndarray    # [K] i32 plane stride of the candidate's octave
+    fi: jnp.ndarray      # [K] i32 plane-local flat index of the final
+    #                      position (addresses A/B/C per-plane flats)
 
 
 def walk_records_positions(recs: List[OctaveRecords], cands,
@@ -325,7 +325,7 @@ def walk_records_positions(recs: List[OctaveRecords], cands,
 
     ok = alive & converged & edge & cok
     return WalkState(l=l, r=r, c=c, ok=ok, octv=octv,
-                     fi=pos_idx(l, r, c), hqwp=hqwp), (flat_b, flat_c)
+                     fi=pos_idx(l, r, c)), (flat_b, flat_c)
 
 
 def finalize_walk(flat, st: WalkState, valid: jnp.ndarray,

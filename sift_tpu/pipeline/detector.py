@@ -95,11 +95,11 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
         # row gathers move whole lanes and are ~free.
         from sift_tpu.ops.records import WalkState
         stm = jnp.stack([st.l, st.r, st.c, st.ok.astype(jnp.int32),
-                         st.octv, st.fi, st.hqwp], axis=1)
+                         st.octv, st.fi], axis=1)
         stg = jnp.take(stm, idx, axis=0)
         stc = WalkState(l=stg[:, 0], r=stg[:, 1], c=stg[:, 2],
                         ok=stg[:, 3].astype(bool), octv=stg[:, 4],
-                        fi=stg[:, 5], hqwp=stg[:, 6])
+                        fi=stg[:, 5])
         ref, koct = finalize_walk(rflat, stc, val, cfg)
         kx, ky, klyr, kxi = ref.x, ref.y, ref.layer, ref.xi
         ksize, kresp = ref.size, ref.response
@@ -130,9 +130,9 @@ def build_detect_fn(plan: SiftPlan, quant_mode: str = "opencv",
 
         if fused:
             # Fused-Pallas path (TPU): the kernels DMA RAW pixel windows
-            # off ONE row-stacked 4-copy slab (keypoint layers 1..L only)
-            # and compute gradients + histograms in VMEM — no dense
-            # gradient slabs (kernels/fused_stages.py).
+            # off ONE row-stacked lane-shifted-copy slab (keypoint
+            # layers 1..L only) and compute gradients + histograms in
+            # VMEM — no dense gradient slabs (kernels/fused_stages.py).
             nl = cfg.num_octave_layers
             margin = window_rows(rmax)
             # 2 lane-shifted copies instead of 4 when the slab is wide
