@@ -170,7 +170,7 @@ def compute_descriptors_fused(slab, octave, x, y, layer, size, angle,
     gradient slabs, no HBM hat/one-hot operands.  ``slab``: row-stacked
     RAW Gaussian pyramid (ops/flatpyr.StackedPyramid).  Returns
     (desc, nrm2) like the flat path."""
-    from sift_tpu.kernels.fused_stages import (DESC_PACK_RADIUS, NPAR,
+    from sift_tpu.kernels.fused_stages import (DESC_PACK_RADIUS,
                                                descriptor_fused)
     from sift_tpu.kernels.window_gather import window_rows
     from sift_tpu.ops.flatpyr import stacked_origins

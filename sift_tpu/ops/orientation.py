@@ -136,7 +136,7 @@ def orientation_histograms_fused(slab, octave, x, y, layer,
     no HBM intermediates.  ``slab``: row-stacked RAW pyramid
     (ops/flatpyr.StackedPyramid, extra_rows >= this stage's window
     rows)."""
-    from sift_tpu.kernels.fused_stages import (NPAR, orientation_hist_fused,
+    from sift_tpu.kernels.fused_stages import (orientation_hist_fused,
                                                pack_factor)
     from sift_tpu.kernels.window_gather import window_rows
     from sift_tpu.ops.flatpyr import stacked_origins
