@@ -137,8 +137,14 @@ def main():
     ms = None
     for attempt in range(2):
         try:
+            # repeats=9: transport noise only ADDS time to each RAW
+            # K-point capture, so the slope of per-point minima is the
+            # honest steady-state number (run-to-run spread was
+            # 0.96-1.09 ms at repeats=3).  NOTE: min over whole SLOPES
+            # would be unsound — a difference of noisy times can
+            # undershoot.
             ms = measure_ms(step, img, k_small=2, k_large=12,
-                            on_first_estimate=set_fallback)
+                            repeats=9, on_first_estimate=set_fallback)
             break
         except Exception as exc:  # noqa: BLE001 — transport can die mid-run
             # Observed round-4 failure: JaxRuntimeError from the remote
